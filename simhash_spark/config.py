@@ -1,0 +1,127 @@
+"""Pinned engine configuration — SINGLE source of truth (SURVEY.md §2.2).
+
+Generalizes the reference encoder's config surface
+(/root/reference/src/Htm/SimHashDocumentEncoder.hsc:40-52,
+/root/reference/src/Htm/V2.hs:54-62, /root/reference/README.md:104-111:
+size=600, sparsity=0.2, tokenSimilarity=true) into the classic 64-bit
+SimHash + MinHash-LSH + substring-gram config this engine runs at.
+
+Everything that affects a signature value lives HERE and nowhere else, so
+the pure-numpy reference encoder (reference.py) and the Spark pandas UDFs
+(functions/signatures.py) can never drift apart.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+# ---------------------------------------------------------------------------
+# Signature semantics (pinned — changing any of these invalidates golden
+# vectors in tests/vectors/)
+# ---------------------------------------------------------------------------
+
+#: SimHash signature width in bits (classic Charikar/Manku 64-bit variant of
+#: the reference's size=600 SDR; see SURVEY.md §2.2).
+SIG_BITS = 64
+
+#: Char-shingle width used as SimHash sub-token features — generalizes the
+#: reference's tokenSimilarity=true (char-level sub-hashing inside tokens,
+#: /root/reference/src/Htm/SimHashDocumentEncoder.hsc:48).
+CHAR_SHINGLE_K = 3
+
+#: MinHash shingling: char k-shingles over the normalized text.
+MINHASH_SHINGLE_K = 5
+#: Number of minhash permutations.
+NUM_PERM = 128
+#: LSH banding for minhash: BANDS * ROWS == NUM_PERM.
+#: Threshold ~ (1/BANDS)^(1/ROWS) ~ 0.42.
+BANDS = 32
+ROWS = 4
+
+#: SimHash Hamming-ball banding: HAM_D max differing bits; pigeonhole over
+#: BLOCKS equal bit-blocks guarantees any pair within HAM_D shares >=1 block.
+HAM_D = 3
+SIM_BLOCKS = 4
+SIM_BLOCK_BITS = SIG_BITS // SIM_BLOCKS  # 16
+
+#: Verification thresholds (SURVEY.md §2.2 VERIFY line).
+VERIFY_HAMMING_MAX = 3
+VERIFY_JACCARD_MIN = 0.8
+
+#: Substring (suffix/gram) detector: exact containment of >= SUBSTR_MIN_LEN
+#: normalized chars; candidate generation via hashed char n-grams of width
+#: GRAM_K sampled every GRAM_STRIDE positions.
+SUBSTR_MIN_LEN = 64
+GRAM_K = 16
+GRAM_STRIDE = 8
+
+#: Prime modulus for minhash universal hashing (Mersenne 2^31-1: products of
+#: two <2^31 values fit in uint64 — vectorizes without 128-bit arithmetic).
+MINHASH_PRIME = (1 << 31) - 1
+#: Value assigned to every minhash slot of an EMPTY shingle set (never
+#: produced by the hash itself since hashes are < MINHASH_PRIME).
+MINHASH_EMPTY = MINHASH_PRIME
+
+#: RNG seed for the minhash permutation parameters (a_i, b_i).
+MINHASH_SEED = 0x51_AB_5EED
+
+#: Personalization prefix for the stable 64-bit feature hash (blake2b).
+HASH_PERSON = b"simhash-spark-v1"
+
+#: SDR-parity mode (reference defaults, used only by parity tests):
+SDR_SIZE = 600
+SDR_SPARSITY = 0.2
+SDR_ACTIVE_BITS = int(SDR_SIZE * SDR_SPARSITY)  # 120
+
+# ---------------------------------------------------------------------------
+# Runtime/scale knobs (do NOT affect signature values)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EngineConfig:
+    """Per-run execution knobs; persisted with each run's lineage."""
+
+    #: Explicit shuffle/partition count for band repartitioning (north_rule
+    #: demands explicit partition counts). None -> spark.sql.shuffle.partitions.
+    partitions: int | None = None
+    #: Max rows allowed in a single (band_id, band_hash) group before the
+    #: group is salted into ceil(n/cap) sub-groups. Guards O(n^2) hot bands.
+    band_group_cap: int = 2000
+    #: Hard cap on candidate pairs emitted per (band, salt) group per probe
+    #: row; drops are logged to _metrics (no silent truncation).
+    max_pairs_per_group: int | None = None
+    #: Connected-components max iterations (safety guard; the loop stops on
+    #: convergence well before this for realistic dup-cluster diameters).
+    cc_max_iters: int = 50
+    #: Arrow batch size for pandas UDFs.
+    arrow_batch: int = 10_000
+    #: Which detectors to run.
+    detectors: tuple = ("simhash", "minhash", "substring")
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["detectors"] = list(self.detectors)
+        return d
+
+
+#: Signature-semantics fingerprint — stored in lineage so a resume against a
+#: checkpoint written under different semantics is refused.
+SEMANTICS = {
+    "sig_bits": SIG_BITS,
+    "char_shingle_k": CHAR_SHINGLE_K,
+    "minhash_shingle_k": MINHASH_SHINGLE_K,
+    "num_perm": NUM_PERM,
+    "bands": BANDS,
+    "rows": ROWS,
+    "ham_d": HAM_D,
+    "sim_blocks": SIM_BLOCKS,
+    "verify_hamming_max": VERIFY_HAMMING_MAX,
+    "verify_jaccard_min": VERIFY_JACCARD_MIN,
+    "substr_min_len": SUBSTR_MIN_LEN,
+    "gram_k": GRAM_K,
+    "gram_stride": GRAM_STRIDE,
+    "minhash_prime": MINHASH_PRIME,
+    "minhash_seed": MINHASH_SEED,
+    "hash_person": HASH_PERSON.decode(),
+}

@@ -1,0 +1,117 @@
+"""Vectorized signature functions — Arrow-batched pandas UDFs.
+
+Each UDF delegates to the pure-numpy reference encoder (reference.py), so
+Spark pipeline output and the recall oracle are the SAME code path — exact
+integer equality by construction (SURVEY.md §5.2 item 1).
+
+These replace the reference's per-record FFI hop
+(/root/reference/src/Htm/SimHashDocumentEncoder.hsc:62-67 — one
+Haskell->C++ call per record) with Arrow batches: the single biggest
+architectural win of the Spark-first rewrite (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simhash_spark import config as C
+from simhash_spark import reference as R
+
+
+@F.pandas_udf(T.StringType())
+def normalize_udf(s: pd.Series) -> pd.Series:
+    """NFC + casefold + whitespace-collapse; pandas-vectorized string ops
+    (pinned to match reference.normalize_text exactly — tested)."""
+    return s.fillna("").str.normalize("NFC").str.casefold().str.split().str.join(" ")
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(norm: pd.Series) -> pd.Series:
+    """64-bit SimHash over normalized text (feature-weight bit-voting,
+    generalizing /root/reference SimHashDocumentEncoder semantics)."""
+    return pd.Series(R.simhash64_from_norm(norm.fillna("").tolist()), dtype="int64")
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(norm: pd.Series) -> pd.Series:
+    """NUM_PERM minhash values over char-5-shingles of normalized text."""
+    sigs = R.minhash_from_norm(norm.fillna("").tolist())
+    return pd.Series(list(sigs))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_bands_udf(norm: pd.Series) -> pd.Series:
+    """BANDS band-hashes directly from normalized text (fuses minhash +
+    banding in one Arrow batch — 32 longs per row cross the UDF boundary
+    instead of 128)."""
+    sigs = R.minhash_from_norm(norm.fillna("").tolist())
+    return pd.Series(list(R.minhash_band_hashes(sigs)))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def substring_grams_udf(norm: pd.Series) -> pd.Series:
+    """Content-sampled gram ids for the substring detector's inverted
+    index. Returned as signed int64 (two's-complement of uint64 ids)."""
+    return pd.Series(
+        [R.substring_grams(t).astype("int64").tolist() for t in norm.fillna("")]
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def jaccard_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.Series:
+    """Exact char-5-shingle Jaccard between two normalized texts
+    (verification path — runs on candidate pairs only)."""
+    return pd.Series(
+        [R.jaccard(a, b) for a, b in zip(norm_a.fillna(""), norm_b.fillna(""))],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def substring_contained_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.Series:
+    """True if the shorter side (>= SUBSTR_MIN_LEN chars) is a verbatim
+    substring of the longer (verification path)."""
+    return pd.Series(
+        [
+            R.substring_contained(a, b)
+            for a, b in zip(norm_a.fillna(""), norm_b.fillna(""))
+        ],
+        dtype="bool",
+    )
+
+
+# ---------------------------------------------------------------------------
+# JVM-side (no-UDF) column expressions — stay inside whole-stage codegen
+# ---------------------------------------------------------------------------
+
+
+def hamming_col(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two int64 simhash columns — pure JVM:
+    bit_count(a ^ b), whole-stage-codegen'd (no Python)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_block_cols(sig: Column | str) -> list[Column]:
+    """SIM_BLOCKS 16-bit block values of a simhash column — pure JVM
+    (shiftrightunsigned + mask), matching reference.simhash_blocks."""
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    mask = (1 << C.SIM_BLOCK_BITS) - 1
+    return [
+        (F.shiftrightunsigned(sig, j * C.SIM_BLOCK_BITS).bitwiseAND(F.lit(mask)))
+        for j in range(C.SIM_BLOCKS)
+    ]
+
+
+def norm_text_col(text: Column | str) -> Column:
+    """JVM-side normalization for SQL-oracle-comparable paths: lower +
+    trim + collapse whitespace. NOTE: this is NOT the pinned pipeline
+    normalization (no NFC/casefold) — use normalize_udf in the pipeline;
+    this exists for oracle-checkable queries where DuckDB must reproduce
+    it exactly."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")

@@ -1,0 +1,172 @@
+"""LSH banding + hot-band handling + candidate pair generation.
+
+Three detectors share one band-table shape
+``(clip_id, det, band_id, band_hash)``:
+
+- ``exact``  — xxhash64 of the normalized text (JVM-side, zero UDF);
+- ``sim``    — 4 x 16-bit SimHash blocks (JVM-side shifts; pigeonhole
+               covers hamming <= 3);
+- ``mh``     — 32 MinHash band hashes (fused minhash+banding pandas UDF);
+- ``gram``   — content-sampled 16-char gram ids (substring detector).
+
+Scale design (the part that must survive 10^12 rows):
+
+- Pair generation is an equi self-join on (det, band_id, band_hash) —
+  sort-merge under AQE with skew-join splitting enabled.
+- A single pathological band key still yields O(n^2) pairs no matter how
+  AQE splits partitions, so band GROUPS are sized first with a cheap
+  map-side-combinable groupBy().count(); groups over ``band_group_cap``
+  are diverted: the ``exact`` detector always emits linear STAR edges
+  (hub = min clip_id — identical text is transitively duplicate, so no
+  pairwise loss), and hot sim/mh/gram groups emit star edges too
+  (approximation, counts logged to _metrics — no silent truncation).
+- The hot-group list is tiny (distinct over-cap keys) => broadcast
+  anti-join; no shuffle of the big side beyond the one the pair join
+  needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_spark import config as C
+from simhash_spark.functions.signatures import (
+    minhash_bands_udf,
+    simhash_block_cols,
+    substring_grams_udf,
+)
+
+
+def build_bands(
+    normalized: DataFrame,
+    signatures: DataFrame,
+    detectors: tuple = ("simhash", "minhash", "substring"),
+) -> DataFrame:
+    """normalized(clip_id, norm_text) + signatures(clip_id, simhash)
+    -> bands(clip_id, det, band_id, band_hash)."""
+    parts: list[DataFrame] = []
+
+    # exact detector — always on; pure JVM hash of the normalized text.
+    parts.append(
+        normalized.select(
+            "clip_id",
+            F.lit("exact").alias("det"),
+            F.lit(0).alias("band_id"),
+            F.xxhash64("norm_text").alias("band_hash"),
+        )
+    )
+
+    if "simhash" in detectors:
+        blocks = simhash_block_cols("simhash")
+        sim = signatures.select(
+            "clip_id",
+            F.posexplode(F.array(*blocks)).alias("band_id", "band_hash"),
+        ).select("clip_id", F.lit("sim").alias("det"), "band_id", "band_hash")
+        parts.append(sim)
+
+    if "minhash" in detectors:
+        mh = normalized.select(
+            "clip_id", F.posexplode(minhash_bands_udf("norm_text")).alias("band_id", "band_hash")
+        ).select("clip_id", F.lit("mh").alias("det"), "band_id", "band_hash")
+        parts.append(mh)
+
+    if "substring" in detectors:
+        gr = normalized.select(
+            "clip_id", F.explode(substring_grams_udf("norm_text")).alias("band_hash")
+        ).select("clip_id", F.lit("gram").alias("det"), F.lit(0).alias("band_id"), "band_hash")
+        parts.append(gr)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_KEYS = ["det", "band_id", "band_hash"]
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    band_group_cap: int = 2000,
+    partitions: int | None = None,
+    metrics_sink=None,
+) -> DataFrame:
+    """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
+
+    ``metrics_sink(name, value, **tags)`` receives hot-band diagnostics.
+    """
+    spark = bands.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # One partial-aggregable pass sizes every band group and picks its hub
+    # (map-side combine keeps hot keys linear — one row per key per mapper).
+    counts = bands.groupBy(*_KEYS).agg(
+        F.count("*").alias("grp_n"), F.min("clip_id").alias("hub")
+    )
+    # Groups of size 1 produce no pairs — drop their rows before any join
+    # (the vast majority of band rows at realistic dup rates).
+    multi = counts.filter(F.col("grp_n") >= 2)
+
+    if metrics_sink is not None:
+        hm = multi.filter(
+            (F.col("grp_n") > band_group_cap) & (F.col("det") != "exact")
+        ).agg(
+            F.count("*").alias("hot_groups"),
+            F.coalesce(F.sum("grp_n"), F.lit(0)).alias("hot_rows"),
+        ).collect()[0]
+        metrics_sink("lsh_hot_band_groups", int(hm["hot_groups"]), cap=band_group_cap)
+        metrics_sink("lsh_hot_band_rows_starred", int(hm["hot_rows"]))
+
+    # Attach grp_n/hub to band rows: plain shuffle equi-join (NOT broadcast —
+    # `multi` can be billions of keys at 10^12 rows); AQE handles skew.
+    bands_multi = bands.join(multi, _KEYS, "inner")
+
+    is_star = (F.col("grp_n") > band_group_cap) | (F.col("det") == "exact")
+
+    # cold path: full pairwise within group via self-join (group size <= cap
+    # bounds the worst group at cap^2/2 pairs).
+    cold_bands = bands_multi.filter(~is_star).select(*_KEYS, "clip_id")
+    cold_bands = cold_bands.repartition(n_part, "band_hash")
+    a = cold_bands.alias("a")
+    b = cold_bands.alias("b")
+    pairs_cold = (
+        a.join(b, _KEYS, "inner")
+        .where(F.col("a.clip_id") < F.col("b.clip_id"))
+        .select(
+            F.col("a.clip_id").alias("a"),
+            F.col("b.clip_id").alias("b"),
+            F.col("det"),
+        )
+    )
+
+    # star path (exact groups of any size + over-cap sim/mh/gram groups):
+    # linear edges to the group's min clip_id. For 'exact' this is lossless
+    # (identical text is transitively dup); for over-cap groups it is the
+    # logged approximation that avoids O(n^2).
+    pairs_hot = (
+        bands_multi.filter(is_star)
+        .where(F.col("clip_id") != F.col("hub"))
+        .select(F.col("hub").alias("a"), F.col("clip_id").alias("b"), F.col("det"))
+    )
+
+    pairs = pairs_cold.unionByName(pairs_hot)
+    # one pair may surface from many bands/detectors — keep exact > sim >
+    # mh > gram priority so verify can trust det=='exact' as pre-verified.
+    pr = F.when(F.col("det") == "exact", 0).when(F.col("det") == "sim", 1).when(
+        F.col("det") == "mh", 2
+    ).otherwise(3)
+    pairs = (
+        pairs.withColumn("det_pr", pr)
+        .groupBy("a", "b")
+        .agg(F.min("det_pr").alias("det_pr"))
+        .select(
+            "a",
+            "b",
+            F.element_at(
+                F.array(F.lit("exact"), F.lit("sim"), F.lit("mh"), F.lit("gram")),
+                F.col("det_pr") + 1,
+            ).alias("det"),
+        )
+    )
+    return pairs

@@ -1,0 +1,127 @@
+"""Stage orchestration: clips -> clusters, checkpointed + resumable.
+
+Stage DAG (each committed atomically via CheckpointStore; a re-run skips
+every committed stage — idempotent resume, SURVEY.md §5.2 item 5):
+
+    normalized       (clip_id, norm_text)
+    signatures       (clip_id, simhash)
+    bands            (clip_id, det, band_id, band_hash)
+    candidate_pairs  (a, b, det)
+    verified_pairs   (a, b, det, method, hamming, jaccard)
+    clusters         (clip_id, cluster_id)
+
+The audio ``bytes`` column never enters the pipeline — it stays in the
+source table and is re-joined by clip_id on demand (pass-through
+invariant, BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simhash_spark.config import EngineConfig
+from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
+from simhash_spark.operators.cc import assign_clusters, connected_components
+from simhash_spark.operators.lsh import build_bands, candidate_pairs
+from simhash_spark.operators.verify import verify_pairs
+from simhash_spark.sources.tableio import CheckpointStore
+
+STAGES = [
+    "normalized",
+    "signatures",
+    "bands",
+    "candidate_pairs",
+    "verified_pairs",
+    "clusters",
+]
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        cfg: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or EngineConfig()
+        self.store = CheckpointStore(spark, checkpoint_dir, run_config=self.cfg.to_dict())
+
+    # each stage: build from upstream committed tables, commit, return df.
+    def run(self, clips: DataFrame) -> DataFrame:
+        """Run (or resume) the full pipeline; returns the clusters table."""
+        t0 = time.time()
+        cfg, store = self.cfg, self.store
+        n_part = cfg.partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+        if not store.is_committed("normalized"):
+            norm = clips.select(
+                "clip_id", normalize_udf("transcript").alias("norm_text")
+            )
+            store.write("normalized", norm)
+        normalized = store.read("normalized")
+
+        if not store.is_committed("signatures"):
+            sigs = normalized.select(
+                "clip_id", simhash64_udf("norm_text").alias("simhash")
+            )
+            store.write("signatures", sigs)
+        signatures = store.read("signatures")
+
+        if not store.is_committed("bands"):
+            bands = build_bands(normalized, signatures, detectors=cfg.detectors)
+            store.write("bands", bands)
+        bands = store.read("bands")
+
+        if not store.is_committed("candidate_pairs"):
+            pairs = candidate_pairs(
+                bands,
+                band_group_cap=cfg.band_group_cap,
+                partitions=n_part,
+                metrics_sink=store.append_metric,
+            )
+            store.write("candidate_pairs", pairs)
+        pairs = store.read("candidate_pairs")
+
+        if not store.is_committed("verified_pairs"):
+            verified = verify_pairs(
+                pairs, normalized, signatures, metrics_sink=store.append_metric
+            )
+            store.write("verified_pairs", verified)
+        verified = store.read("verified_pairs")
+
+        if not store.is_committed("clusters"):
+            cc = connected_components(
+                verified,
+                max_iters=cfg.cc_max_iters,
+                metrics_sink=store.append_metric,
+            )
+            clusters = assign_clusters(clips.select("clip_id"), cc)
+            store.write("clusters", clusters)
+        clusters = store.read("clusters")
+
+        store.append_metric("pipeline_wall_sec", time.time() - t0)
+        return clusters
+
+    def dup_pairs_from_clusters(self) -> DataFrame:
+        """All intra-cluster pairs (a < b) implied by the clusters table —
+        the pipeline's asserted duplicate-pair set (recall numerator).
+        O(sum cluster_size^2): evaluation-time helper for test scales, not
+        a production artifact (production reports cluster membership)."""
+        clusters = self.store.read("clusters")
+        nontrivial = clusters.groupBy("cluster_id").agg(
+            F.count("*").alias("sz")
+        ).filter(F.col("sz") >= 2)
+        members = clusters.join(nontrivial.select("cluster_id"), "cluster_id")
+        x = members.alias("x")
+        y = members.alias("y")
+        return (
+            x.join(y, "cluster_id")
+            .where(F.col("x.clip_id") < F.col("y.clip_id"))
+            .select(F.col("x.clip_id").alias("a"), F.col("y.clip_id").alias("b"))
+        )

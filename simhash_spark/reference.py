@@ -1,0 +1,380 @@
+"""Pure-numpy reference encoder — the recall/golden-vector oracle.
+
+Implements the pinned signature spec (config.py / SURVEY.md §2.2), playing
+the role of "the reference encoder" from BASELINE.json: it generalizes the
+reference's SimHashDocumentEncoder semantics
+(/root/reference/src/Htm/SimHashDocumentEncoder.hsc:40-67 glue over
+htm.core's encoder: tokenize -> hash each feature -> per-bit +/-weight
+voting -> select active bits) into classic 64-bit sign-threshold SimHash,
+plus MinHash over char k-shingles and substring grams.
+
+Everything here is BATCH-oriented (list/Series in, numpy array out) so the
+Spark pandas UDFs in functions/signatures.py call these exact functions —
+Spark output and oracle output are the same code path, by construction.
+No Spark imports in this module (tests import it without a JVM).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+from collections.abc import Iterable, Sequence
+
+import numpy as np
+
+from simhash_spark import config as C
+
+# ---------------------------------------------------------------------------
+# Normalization & tokenization
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: str | None) -> str:
+    """NFC + casefold + collapse whitespace runs to single spaces."""
+    if text is None:
+        return ""
+    t = unicodedata.normalize("NFC", text).casefold()
+    return " ".join(t.split())
+
+
+def normalize_batch(texts: Iterable[str | None]) -> list[str]:
+    return [normalize_text(t) for t in texts]
+
+
+def tokenize(norm_text: str) -> list[str]:
+    """Whitespace tokenization of already-normalized text (reference
+    tokenizes on whitespace: htm.core SimHashDocumentEncoder, public)."""
+    return norm_text.split()
+
+
+def char_shingles(norm_text: str, k: int) -> list[str]:
+    """Overlapping char k-shingles of normalized text (spaces included).
+    Texts shorter than k yield the whole text as a single shingle (if
+    non-empty)."""
+    n = len(norm_text)
+    if n == 0:
+        return []
+    if n <= k:
+        return [norm_text]
+    return [norm_text[i : i + k] for i in range(n - k + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Stable 64-bit feature hash
+# ---------------------------------------------------------------------------
+
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 1 << 20
+
+
+def hash64(feature: str) -> int:
+    """Stable 64-bit hash of a feature string (blake2b, personalized).
+    Returns uint64-range Python int. The reference uses SHA-3 via digestpp
+    (/root/reference/.gitmodules:4-6); any strong stable hash preserves the
+    SimHash guarantees — blake2b is the stdlib's fastest."""
+    h = _HASH_CACHE.get(feature)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(
+                feature.encode("utf-8"), digest_size=8, person=C.HASH_PERSON
+            ).digest(),
+            "little",
+        )
+        if len(_HASH_CACHE) < _HASH_CACHE_MAX:
+            _HASH_CACHE[feature] = h
+    return h
+
+
+def hash64_batch(features: Sequence[str]) -> np.ndarray:
+    """Vectorized-ish stable hash: factorize to uniques, hash each unique
+    once, gather. Returns uint64 array aligned with ``features``."""
+    if len(features) == 0:
+        return np.empty(0, dtype=np.uint64)
+    codes, uniques = np.unique(np.asarray(features, dtype=object), return_inverse=True)
+    uh = np.fromiter((hash64(u) for u in codes), dtype=np.uint64, count=len(codes))
+    return uh[uniques]
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, feature-weight bit-voting, sign threshold)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_from_hashed(
+    flat_hashes: np.ndarray, flat_weights: np.ndarray, row_starts: np.ndarray, n_rows: int
+) -> np.ndarray:
+    """Core bit-vote kernel. flat_* are per-feature arrays sorted by row;
+    row_starts[i] is the offset of row i's first feature (len n_rows+1).
+    Returns int64 signatures (two's-complement of the packed 64 bits).
+
+    Memory-light: one pass per bit position (64 reduceats over the flat
+    feature arrays) instead of materializing an (n_features, 64) vote
+    matrix. vote_sum_bit = 2*sum(w where bit set) - sum(w)."""
+    out = np.zeros(n_rows, dtype=np.int64)
+    if len(flat_hashes) == 0:
+        return out
+    nonempty = row_starts[:-1] < row_starts[1:]
+    if not nonempty.any():
+        return out
+    idx = row_starts[:-1].clip(max=len(flat_hashes) - 1)
+    w = flat_weights.astype(np.int64)
+    totw = np.add.reduceat(w, idx)
+    packed = np.zeros(n_rows, dtype=np.uint64)
+    for bit in range(C.SIG_BITS):
+        wb = w * ((flat_hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        s1 = np.add.reduceat(wb, idx)
+        bitval = (2 * s1 - totw) > 0  # sign threshold; ties -> 0
+        packed |= bitval.astype(np.uint64) << np.uint64(bit)
+    out[nonempty] = packed.astype(np.int64)[nonempty]
+    return out
+
+
+def simhash_features(norm_text: str) -> dict[str, int]:
+    """Feature -> weight map: word tokens ∪ char-3-shingles, weight =
+    occurrence count (generalizes tokenSimilarity=true: char-level
+    sub-hashing gives typo tolerance; SURVEY.md §2.2)."""
+    feats: dict[str, int] = {}
+    for tok in tokenize(norm_text):
+        feats[tok] = feats.get(tok, 0) + 1
+    for sh in char_shingles(norm_text, C.CHAR_SHINGLE_K):
+        feats[sh] = feats.get(sh, 0) + 1
+    return feats
+
+
+def simhash64_from_norm(norms: Sequence[str]) -> np.ndarray:
+    """64-bit SimHash signatures for ALREADY-normalized texts -> int64."""
+    flat_feats: list[str] = []
+    flat_w: list[int] = []
+    row_starts = np.zeros(len(norms) + 1, dtype=np.int64)
+    for i, nt in enumerate(norms):
+        feats = simhash_features(nt)
+        flat_feats.extend(feats.keys())
+        flat_w.extend(feats.values())
+        row_starts[i + 1] = len(flat_feats)
+    hashes = hash64_batch(flat_feats)
+    weights = np.asarray(flat_w, dtype=np.int64)
+    return _simhash_from_hashed(hashes, weights, row_starts, len(norms))
+
+
+def simhash64_batch(texts: Iterable[str | None]) -> np.ndarray:
+    """64-bit SimHash signatures for a batch of raw texts -> int64 array."""
+    return simhash64_from_norm(normalize_batch(texts))
+
+
+def simhash64(text: str | None) -> int:
+    return int(simhash64_batch([text])[0])
+
+
+# ---------------------------------------------------------------------------
+# MinHash (NUM_PERM permutations over char-5-shingle ids)
+# ---------------------------------------------------------------------------
+
+
+def _perm_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(C.MINHASH_SEED))
+    a = rng.integers(1, C.MINHASH_PRIME, size=C.NUM_PERM, dtype=np.uint64)
+    b = rng.integers(0, C.MINHASH_PRIME, size=C.NUM_PERM, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def shingle_ids(norm_text: str) -> np.ndarray:
+    """Distinct char-5-shingle ids in [0, MINHASH_PRIME) -> uint64 array."""
+    shs = char_shingles(norm_text, C.MINHASH_SHINGLE_K)
+    if not shs:
+        return np.empty(0, dtype=np.uint64)
+    ids = hash64_batch(shs) % np.uint64(C.MINHASH_PRIME)
+    return np.unique(ids)
+
+
+def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
+    """(n, NUM_PERM) int64 minhash signatures for ALREADY-normalized
+    texts. Empty shingle set -> all-MINHASH_EMPTY row."""
+    n = len(norms)
+    out = np.full((n, C.NUM_PERM), C.MINHASH_EMPTY, dtype=np.int64)
+    # Flatten all shingle ids with row boundaries, one matmul-free pass.
+    flat: list[np.ndarray] = []
+    starts = np.zeros(n + 1, dtype=np.int64)
+    for i, nt in enumerate(norms):
+        ids = shingle_ids(nt)
+        flat.append(ids)
+        starts[i + 1] = starts[i] + len(ids)
+    if starts[-1] == 0:
+        return out
+    x = np.concatenate(flat)  # (total,)
+    p = np.uint64(C.MINHASH_PRIME)
+    # h_j(x) = (a_j * x + b_j) mod p ; a,x < 2^31 so product < 2^62 (no overflow).
+    hx = (x[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % p  # (total, 128)
+    nonempty = starts[:-1] < starts[1:]
+    mins = np.minimum.reduceat(hx, starts[:-1].clip(max=len(x) - 1), axis=0)
+    out[nonempty] = mins[nonempty].astype(np.int64)
+    return out
+
+
+def minhash_batch(texts: Iterable[str | None]) -> np.ndarray:
+    return minhash_from_norm(normalize_batch(texts))
+
+
+def minhash(text: str | None) -> np.ndarray:
+    return minhash_batch([text])[0]
+
+
+# ---------------------------------------------------------------------------
+# Banding
+# ---------------------------------------------------------------------------
+
+_MIX_MUL = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized avalanche mix on uint64."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def minhash_band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n, NUM_PERM) minhash -> (n, BANDS) int64 band hashes.
+    band_hash = mix64(polyhash of the ROWS values + band index)."""
+    n = sigs.shape[0]
+    v = sigs.astype(np.uint64).reshape(n, C.BANDS, C.ROWS)
+    acc = np.zeros((n, C.BANDS), dtype=np.uint64)
+    for r in range(C.ROWS):
+        acc = acc * _MIX_MUL + v[:, :, r]
+    acc = acc * _MIX_MUL + np.arange(C.BANDS, dtype=np.uint64)[None, :]
+    return _mix64(acc).astype(np.int64)
+
+
+def simhash_blocks(sigs: np.ndarray) -> np.ndarray:
+    """(n,) int64 simhash -> (n, SIM_BLOCKS) int64 16-bit blocks.
+    Pigeonhole: hamming(a,b) <= HAM_D=3 < SIM_BLOCKS=4 => >=1 equal block."""
+    u = np.asarray(sigs, dtype=np.int64).astype(np.uint64)
+    out = np.empty((len(u), C.SIM_BLOCKS), dtype=np.int64)
+    mask = np.uint64((1 << C.SIM_BLOCK_BITS) - 1)
+    for j in range(C.SIM_BLOCKS):
+        out[:, j] = ((u >> np.uint64(j * C.SIM_BLOCK_BITS)) & mask).astype(np.int64)
+    return out
+
+
+def substring_grams(norm_text: str) -> np.ndarray:
+    """Content-sampled hashed GRAM_K-char grams for substring-containment
+    candidate generation (MOSS/winnowing-style mod-sampling).
+
+    A gram at offset i is EMITTED iff hash(gram) % GRAM_STRIDE == 0 —
+    sampling is decided by gram CONTENT, so a verbatim shared span
+    produces identical sampled grams on both sides regardless of its
+    offset in either text (alignment-free). A >= SUBSTR_MIN_LEN=64-char
+    shared span holds 49 gram positions; miss probability
+    (1-1/8)^49 ~ 0.14%. Returns distinct uint64 gram ids."""
+    n = len(norm_text)
+    if n < C.GRAM_K:
+        return np.empty(0, dtype=np.uint64)
+    grams = [norm_text[i : i + C.GRAM_K] for i in range(n - C.GRAM_K + 1)]
+    ids = hash64_batch(grams)
+    sampled = ids[ids % np.uint64(C.GRAM_STRIDE) == 0]
+    return np.unique(sampled)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise measures & brute-force oracle
+# ---------------------------------------------------------------------------
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount on uint64 (numpy 1.26 lacks bitwise_count)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    shape = x.shape
+    bits = np.unpackbits(x.reshape(-1).view(np.uint8))
+    return bits.reshape(-1, 64).sum(axis=1).astype(np.int64).reshape(shape)
+
+
+def hamming64(a: int | np.ndarray, b: int | np.ndarray) -> int | np.ndarray:
+    x = np.bitwise_xor(np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64))
+    cnt = popcount64(np.atleast_1d(x).astype(np.uint64))
+    return int(cnt[0]) if np.isscalar(a) or np.asarray(a).ndim == 0 else cnt
+
+
+def jaccard(norm_a: str, norm_b: str) -> float:
+    sa, sb = shingle_ids(norm_a), shingle_ids(norm_b)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def substring_contained(norm_a: str, norm_b: str, min_len: int = C.SUBSTR_MIN_LEN) -> bool:
+    """True if the shorter of (a, b) has >= min_len chars and is a verbatim
+    substring of the longer."""
+    short, long_ = (norm_a, norm_b) if len(norm_a) <= len(norm_b) else (norm_b, norm_a)
+    return len(short) >= min_len and short in long_
+
+
+def brute_force_dup_pairs(texts: Sequence[str | None]) -> set[tuple[int, int]]:
+    """All (i, j) i<j satisfying the VERIFY rule (hamming<=HAM or
+    jaccard>=J or substring containment) — the recall denominator.
+    O(n^2); use only for n <= a few thousand."""
+    norms = normalize_batch(texts)
+    sigs = simhash64_batch(texts)
+    n = len(norms)
+    pairs: set[tuple[int, int]] = set()
+    u = sigs.astype(np.uint64)
+    sets = [shingle_ids(t) for t in norms]
+    for i in range(n):
+        ham = popcount64(u[i] ^ u[i + 1 :])
+        for off in np.nonzero(ham <= C.VERIFY_HAMMING_MAX)[0]:
+            pairs.add((i, i + 1 + int(off)))
+        si = sets[i]
+        for j in range(i + 1, n):
+            if (i, j) in pairs:
+                continue
+            sj = sets[j]
+            if len(si) and len(sj):
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                if inter / (len(si) + len(sj) - inter) >= C.VERIFY_JACCARD_MIN:
+                    pairs.add((i, j))
+                    continue
+            if substring_contained(norms[i], norms[j]):
+                pairs.add((i, j))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SDR-parity mode (reference defaults: size=600, sparsity=0.2 -> top-120)
+# ---------------------------------------------------------------------------
+
+
+def sdr_encode(text: str | None) -> np.ndarray:
+    """Fixed-sparsity SDR variant matching the reference encoder's shape:
+    600-wide vote vector, top-120 columns by vote sum are active
+    (htm.core SimHashDocumentEncoder semantics, public). Returns sorted
+    active-bit indices. Used only by parity tests."""
+    nt = normalize_text(text)
+    feats = simhash_features(nt)
+    votes = np.zeros(C.SDR_SIZE, dtype=np.int64)
+    if feats:
+        names = list(feats.keys())
+        weights = np.asarray(list(feats.values()), dtype=np.int64)
+        hs = hash64_batch(names)
+        # Derive SDR_SIZE vote bits per feature by expanding the 64-bit hash
+        # with splitmix64 rounds (needs ceil(600/64)=10 words).
+        words = np.empty((len(hs), 10), dtype=np.uint64)
+        cur = hs.copy()
+        for w in range(10):
+            words[:, w] = cur
+            cur = _mix64(cur + np.uint64(w + 1))
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((words[:, :, None] >> shifts[None, None, :]) & np.uint64(1)).reshape(
+            len(hs), 640
+        )[:, : C.SDR_SIZE]
+        votes = ((2 * bits.astype(np.int64) - 1) * weights[:, None]).sum(axis=0)
+    # top-ACTIVE_BITS by vote, ties broken by lower index (stable argsort).
+    order = np.argsort(-votes, kind="stable")
+    return np.sort(order[: C.SDR_ACTIVE_BITS])

@@ -1,0 +1,45 @@
+"""SparkSession builder with scale-aware defaults.
+
+Local mode is for correctness tests + the two-parallelism-level scaling
+bench; the same config block is what we'd ship to a 1000-executor cluster
+via spark-submit (AQE, skew-join, Arrow, explicit shuffle partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "simhash-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; a real cluster would set 2-3x total cores.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cores)
+        shuffle_partitions = cores if n == "*" else int(n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

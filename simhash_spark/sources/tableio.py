@@ -1,0 +1,183 @@
+"""Checkpointed table store with atomic publish, lineage and metrics.
+
+Production path is Iceberg (atomic snapshot commits); this sandbox has no
+Iceberg jars (SURVEY.md §7.0), so the local backend emulates the two
+Iceberg properties the pipeline relies on — atomic publish + readable
+manifests — with the reference's own idiom at table scale: write to a
+temp dir, fsync, then ATOMIC RENAME of a manifest
+(/root/reference/src/Htm/V2.hs:88-94 saves to ``path.1`` then renames).
+
+Layout per stage::
+
+    <base>/<stage>/data-<token>/   parquet files (Spark-written)
+    <base>/<stage>/MANIFEST.json   atomic pointer {token, rows, semantics,...}
+    <base>/_lineage.jsonl          append-only stage-commit log (per-file rows)
+    <base>/_metrics.jsonl          append-only metrics events
+
+A stage is COMMITTED iff MANIFEST.json exists and its semantics
+fingerprint matches config.SEMANTICS — a resume under different signature
+semantics is refused rather than silently mixed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simhash_spark import config as C
+
+
+class IcebergUnavailable(RuntimeError):
+    pass
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, base_dir: str, run_config: dict | None = None):
+        self.spark = spark
+        self.base = base_dir
+        self.run_config = run_config or {}
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "MANIFEST.json")
+
+    # -- commit protocol ---------------------------------------------------
+    def is_committed(self, stage: str) -> bool:
+        """True if the stage is committed under the CURRENT semantics.
+        A manifest committed under DIFFERENT semantics raises — resuming
+        would silently recompute (or worse, mix) a possibly-huge
+        checkpoint; the operator must delete the checkpoint dir (or pass
+        a fresh one) explicitly."""
+        m = self.read_manifest(stage)
+        if m is None:
+            return False
+        if m.get("semantics") != _sem_json():
+            raise RuntimeError(
+                f"stage {stage!r} in {self.base} was committed under different "
+                "signature semantics; refusing to resume or rebuild in place — "
+                "delete the checkpoint dir to start over"
+            )
+        return True
+
+    def read_manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+        """Write ``df`` as the committed content of ``stage`` (idempotent
+        overwrite). Returns the manifest. Records per-file (=per written
+        partition) row counts into _lineage.jsonl."""
+        sdir = self._stage_dir(stage)
+        os.makedirs(sdir, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(sdir, f"data-{token}")
+        t0 = time.time()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        # per-file lineage: one aggregate scan over footer-cheap columns.
+        # (On Iceberg this comes free from the snapshot manifest.)
+        files = (
+            self.spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        rows = sum(r["count"] for r in files)
+        manifest = {
+            "stage": stage,
+            "token": token,
+            "data_dir": data_dir,
+            "rows": rows,
+            "n_files": len(files),
+            "committed_at": time.time(),
+            "wall_sec": time.time() - t0,
+            "semantics": _sem_json(),
+            "run_config": self.run_config,
+        }
+        tmp = self._manifest_path(stage) + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(stage))  # ATOMIC publish
+        self._gc_old_data(stage, keep_token=token)
+        self.append_lineage(
+            {
+                "event": "stage_commit",
+                "stage": stage,
+                "token": token,
+                "rows": rows,
+                "files": [
+                    {"file": os.path.basename(r["file"]), "rows": r["count"]} for r in files
+                ],
+                "wall_sec": manifest["wall_sec"],
+            }
+        )
+        return manifest
+
+    def read(self, stage: str) -> DataFrame:
+        m = self.read_manifest(stage)
+        if m is None:
+            raise FileNotFoundError(f"stage {stage!r} not committed under {self.base}")
+        if m.get("semantics") != _sem_json():
+            raise RuntimeError(
+                f"stage {stage!r} was committed under different signature semantics; "
+                "refusing to resume (delete the checkpoint dir to rebuild)"
+            )
+        return self.spark.read.parquet(m["data_dir"])
+
+    def invalidate_from(self, stages: list[str], first_dirty: str) -> None:
+        """Drop manifests of ``first_dirty`` and all later stages."""
+        if first_dirty not in stages:
+            return
+        for s in stages[stages.index(first_dirty) :]:
+            p = self._manifest_path(s)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def _gc_old_data(self, stage: str, keep_token: str) -> None:
+        sdir = self._stage_dir(stage)
+        for name in os.listdir(sdir):
+            if name.startswith("data-") and not name.endswith(keep_token):
+                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+
+    # -- lineage & metrics ---------------------------------------------------
+    def append_lineage(self, event: dict) -> None:
+        _append_jsonl(os.path.join(self.base, "_lineage.jsonl"), {**event, "ts": time.time()})
+
+    def append_metric(self, name: str, value, **tags) -> None:
+        _append_jsonl(
+            os.path.join(self.base, "_metrics.jsonl"),
+            {"metric": name, "value": value, "ts": time.time(), **tags},
+        )
+
+    def metrics(self) -> list[dict]:
+        p = os.path.join(self.base, "_metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def _sem_json() -> dict:
+    return json.loads(json.dumps(C.SEMANTICS))
+
+
+def _append_jsonl(path: str, obj: dict) -> None:
+    with open(path, "a") as f:
+        f.write(json.dumps(obj) + "\n")
