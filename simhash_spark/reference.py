@@ -320,28 +320,56 @@ def substring_contained(norm_a: str, norm_b: str, min_len: int = C.SUBSTR_MIN_LE
 def brute_force_dup_pairs(texts: Sequence[str | None]) -> set[tuple[int, int]]:
     """All (i, j) i<j satisfying the VERIFY rule (hamming<=HAM or
     jaccard>=J or substring containment) — the recall denominator.
-    O(n^2); use only for n <= a few thousand."""
+    O(n^2) but vectorized (popcount sweep + indicator-matrix matmul for
+    all-pairs jaccard); fine up to a few thousand rows."""
     norms = normalize_batch(texts)
     sigs = simhash64_batch(texts)
     n = len(norms)
     pairs: set[tuple[int, int]] = set()
     u = sigs.astype(np.uint64)
-    sets = [shingle_ids(t) for t in norms]
+
+    # 1) hamming sweep, vectorized per row.
     for i in range(n):
         ham = popcount64(u[i] ^ u[i + 1 :])
         for off in np.nonzero(ham <= C.VERIFY_HAMMING_MAX)[0]:
             pairs.add((i, i + 1 + int(off)))
-        si = sets[i]
-        for j in range(i + 1, n):
+
+    # 2) all-pairs jaccard via indicator matmul: |A∩B| = M @ M.T with M the
+    # doc x unique-shingle 0/1 matrix; |A∪B| = |A|+|B|-|A∩B|.
+    sets = [shingle_ids(t) for t in norms]
+    sizes = np.array([len(s) for s in sets], dtype=np.int64)
+    all_ids = np.concatenate([s for s in sets if len(s)]) if sizes.sum() else np.empty(0, np.uint64)
+    if len(all_ids):
+        uniq = np.unique(all_ids)
+        m = np.zeros((n, len(uniq)), dtype=np.float32)
+        for i, s in enumerate(sets):
+            if len(s):
+                m[i, np.searchsorted(uniq, s)] = 1.0
+        inter = m @ m.T  # (n, n) float32 intersection sizes
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        ii, jj = np.nonzero(np.triu(jac >= C.VERIFY_JACCARD_MIN, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            pairs.add((a, b))
+    # both-empty texts are identical => jaccard 1 by convention.
+    empties = [i for i in range(n) if sizes[i] == 0]
+    for x in range(len(empties)):
+        for y in range(x + 1, len(empties)):
+            pairs.add((empties[x], empties[y]))
+
+    # 3) substring containment for remaining eligible pairs.
+    lens = np.array([len(t) for t in norms])
+    elig = np.nonzero(lens >= C.SUBSTR_MIN_LEN)[0]
+    for ai in range(len(elig)):
+        i = int(elig[ai])
+        for bi in range(ai + 1, len(elig)):
+            j = int(elig[bi])
             if (i, j) in pairs:
                 continue
-            sj = sets[j]
-            if len(si) and len(sj):
-                inter = len(np.intersect1d(si, sj, assume_unique=True))
-                if inter / (len(si) + len(sj) - inter) >= C.VERIFY_JACCARD_MIN:
-                    pairs.add((i, j))
-                    continue
-            if substring_contained(norms[i], norms[j]):
+            a, b = norms[i], norms[j]
+            short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+            if short in long_:
                 pairs.add((i, j))
     return pairs
 

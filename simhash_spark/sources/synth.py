@@ -131,6 +131,9 @@ def make_clips(
     n_sub = max(1, int(n * 0.03))
     n_hot = max(2, int(n * 0.02))
     n_base = n - (n_exact + n_char + n_token + n_sub + n_hot)
+    if n_base < 5:  # tiny corpora: all-base, no planted dups
+        n_exact = n_char = n_token = n_sub = n_hot = 0
+        n_base = n
 
     rows: list[dict] = []
     truth: list[tuple[str, str, str]] = []

@@ -115,7 +115,9 @@ class CheckpointStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path(stage))  # ATOMIC publish
-        self._gc_old_data(stage, keep_token=token)
+        # NOTE: older data-<token> dirs are NOT deleted here — like Iceberg
+        # snapshots, readers holding the previous version must keep working
+        # until an explicit vacuum().
         self.append_lineage(
             {
                 "event": "stage_commit",
@@ -150,11 +152,21 @@ class CheckpointStore:
             if os.path.exists(p):
                 os.remove(p)
 
-    def _gc_old_data(self, stage: str, keep_token: str) -> None:
-        sdir = self._stage_dir(stage)
-        for name in os.listdir(sdir):
-            if name.startswith("data-") and not name.endswith(keep_token):
-                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+    def vacuum(self, stage: str | None = None) -> None:
+        """Delete data dirs not referenced by the current manifest
+        (Iceberg expire_snapshots analog). Only call when no reader may
+        hold an older version."""
+        stages = [stage] if stage else [
+            s for s in os.listdir(self.base)
+            if os.path.isdir(self._stage_dir(s)) and not s.startswith("_")
+        ]
+        for s in stages:
+            m = self.read_manifest(s)
+            keep = os.path.basename(m["data_dir"]) if m else None
+            sdir = self._stage_dir(s)
+            for name in os.listdir(sdir):
+                if name.startswith("data-") and name != keep:
+                    shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
 
     # -- lineage & metrics ---------------------------------------------------
     def append_lineage(self, event: dict) -> None:

@@ -1,0 +1,64 @@
+"""Audio column functions: WAV roundtrip, SNR, features, stub gating."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_spark.functions.audio import (
+    audio_features,
+    audio_snr_udf,
+    snr_db,
+    transcode,
+)
+from simhash_spark.sources.synth import decode_wav, make_clips, wav_bytes
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(0)
+    samples = (rng.normal(0, 0.2, 1600) * 32767).astype(np.int16)
+    raw = wav_bytes(samples, 16000)
+    sr, out = decode_wav(raw)
+    assert sr == 16000
+    assert np.array_equal(out, samples)
+
+
+def test_snr_semantics():
+    a = np.array([1000, -1000, 500], dtype=np.int16)
+    assert snr_db(a, a) == float("inf")
+    noisy = a + np.array([10, -10, 5], dtype=np.int16)
+    v = snr_db(a, noisy)
+    assert 30 < v < 60
+    assert snr_db(a, np.array([1, 2], dtype=np.int16)) == float("-inf")
+
+
+def test_audio_snr_udf_identity_and_corrupt(spark):
+    clips_pd, _ = make_clips(20, seed=1)
+    df = spark.createDataFrame(clips_pd[["clip_id", "bytes"]])
+    same = df.select(audio_snr_udf("bytes", "bytes").alias("snr"))
+    assert all(r.snr >= 1e9 for r in same.collect())
+    corrupt = df.withColumn("b2", F.lit(b"not a wav"))
+    bad = corrupt.select(audio_snr_udf("bytes", "b2").alias("snr"))
+    assert all(r.snr == float("-inf") for r in bad.collect())
+
+
+def test_audio_features_real_compute(spark):
+    clips_pd, _ = make_clips(30, seed=2)
+    df = spark.createDataFrame(clips_pd[["clip_id", "bytes"]])
+    feats = audio_features(df).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r.sr_hz in (8000, 16000, 44100)
+        assert r.n_samples > 0
+        assert 0.0 < r.rms < 1.0
+        assert 0.0 < r.peak <= 1.0
+        assert len(r.frame_energy) == 16
+        assert all(e >= 0 for e in r.frame_energy)
+
+
+def test_transcode_stub_gated(spark):
+    clips_pd, _ = make_clips(5, seed=3)
+    df = spark.createDataFrame(clips_pd)
+    stub = transcode(df, "opus")
+    assert stub.schema == df.schema  # Spark plumbing is real
+    with pytest.raises(Exception, match="NotImplementedError|codec library"):
+        stub.collect()  # the kernel is honestly absent

@@ -1,0 +1,94 @@
+"""LSH candidate generation + connected components unit tests."""
+
+from pyspark.sql import functions as F
+
+from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
+from simhash_spark.operators.cc import assign_clusters, connected_components
+from simhash_spark.operators.lsh import build_bands, candidate_pairs
+
+
+def _norm_sig(spark, rows):
+    df = spark.createDataFrame(rows, "clip_id string, transcript string")
+    norm = df.select("clip_id", normalize_udf("transcript").alias("norm_text"))
+    sigs = norm.select("clip_id", simhash64_udf("norm_text").alias("simhash"))
+    return norm, sigs
+
+
+def test_candidate_pairs_cover_near_dups(spark):
+    long = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        ("a", long),
+        ("b", long),                              # exact dup
+        ("c", long.replace("word20", "wordXX")),  # hamming-near dup
+        ("d", "totally different thing entirely"),
+    ]
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+    pairs = {(r.a, r.b) for r in candidate_pairs(bands).collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") in pairs or ("b", "c") in pairs
+    assert not any("d" in p for p in pairs)
+
+
+def test_exact_groups_use_linear_star_edges(spark):
+    # 50 identical rows: full pairwise would be 1225 pairs; star = 49.
+    rows = [(f"c{i:03d}", "identical transcript text") for i in range(50)]
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+    pairs = candidate_pairs(bands).collect()
+    exact_pairs = [p for p in pairs if p.det == "exact"]
+    assert len(exact_pairs) == 49
+    hubs = {p.a for p in exact_pairs}
+    assert hubs == {"c000"}  # min clip_id is the hub
+
+
+def test_hot_band_cap_stars_and_logs(spark):
+    rows = [(f"h{i:03d}", f"shared prefix words number{i}") for i in range(30)]
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+    metrics = []
+    pairs = candidate_pairs(
+        bands,
+        band_group_cap=5,
+        metrics_sink=lambda n, v, **t: metrics.append((n, v)),
+    )
+    n_pairs = pairs.count()
+    # cap=5 on 30 near-identical rows: no O(n^2) blowup (<< 435 full pairs
+    # per band x 30+ shared bands), and drops were logged.
+    assert n_pairs < 500
+    logged = dict(metrics)
+    assert logged.get("lsh_hot_band_groups", 0) > 0
+    assert logged.get("lsh_hot_band_rows_starred", 0) > 0
+
+
+def test_connected_components_known_graphs(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # chain -> one component
+            ("x", "y"),                            # separate pair
+            ("m", "n"), ("n", "o"), ("m", "o"),   # triangle
+        ],
+        "a string, b string",
+    )
+    labels = {r.clip_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert labels == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x",
+        "m": "m", "n": "m", "o": "m",
+    }
+
+
+def test_assign_clusters_singletons(spark):
+    all_ids = spark.createDataFrame([("a",), ("b",), ("z",)], "clip_id string")
+    cc = spark.createDataFrame([("a", "a"), ("b", "a")], "clip_id string, cluster_id string")
+    got = {r.clip_id: r.cluster_id for r in assign_clusters(all_ids, cc).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_cc_converges_on_long_chain(spark):
+    n = 33
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n - 1)], "a string, b string"
+    )
+    labels = connected_components(edges, max_iters=n + 2).collect()
+    assert {r.cluster_id for r in labels} == {"v00"}

@@ -1,0 +1,99 @@
+"""Spark pandas-UDF output must equal the numpy reference EXACTLY
+(signatures are deterministic integers — SURVEY.md §5.2 item 1)."""
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from simhash_spark import config as C
+from simhash_spark import reference as R
+from simhash_spark.functions.signatures import (
+    hamming_col,
+    minhash_bands_udf,
+    minhash_udf,
+    normalize_udf,
+    simhash64_udf,
+    simhash_block_cols,
+    substring_grams_udf,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "vectors", "golden.json")
+
+
+def _texts():
+    with open(GOLDEN) as f:
+        g = json.load(f)
+    return [v["text"] for v in g["vectors"]]
+
+
+def test_normalize_udf_matches_reference(spark):
+    texts = _texts() + ["MIXED Case nbsp", "é combining acute", None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.n for r in df.select(normalize_udf("text").alias("n")).collect()]
+    want = [R.normalize_text(t) for t in texts]
+    assert got == want
+
+
+def test_simhash_udf_matches_reference(spark):
+    texts = _texts()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.s
+        for r in df.select(
+            simhash64_udf(normalize_udf("text")).alias("s")
+        ).collect()
+    ]
+    want = R.simhash64_batch(texts).tolist()
+    assert got == want
+
+
+def test_minhash_udf_matches_reference(spark):
+    texts = _texts()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.m for r in df.select(minhash_udf(normalize_udf("text")).alias("m")).collect()]
+    want = R.minhash_batch(texts)
+    assert np.array_equal(np.array(got), want)
+
+
+def test_minhash_bands_udf_matches_reference(spark):
+    texts = _texts()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.b for r in df.select(minhash_bands_udf(normalize_udf("text")).alias("b")).collect()
+    ]
+    want = R.minhash_band_hashes(R.minhash_batch(texts))
+    assert np.array_equal(np.array(got), want)
+
+
+def test_substring_grams_udf_matches_reference(spark):
+    texts = _texts()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.g for r in df.select(substring_grams_udf(normalize_udf("text")).alias("g")).collect()]
+    want = [R.substring_grams(R.normalize_text(t)).astype("int64").tolist() for t in texts]
+    assert got == want
+
+
+def test_hamming_col_matches_reference(spark):
+    rng = np.random.default_rng(5)
+    a = rng.integers(-(2**63), 2**63 - 1, size=200, dtype=np.int64)
+    b = rng.integers(-(2**63), 2**63 - 1, size=200, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a long, b long"
+    )
+    got = [r.h for r in df.select(hamming_col("a", "b").alias("h")).collect()]
+    want = R.hamming64(a, b).tolist()
+    assert got == want
+
+
+def test_simhash_block_cols_match_reference(spark):
+    rng = np.random.default_rng(6)
+    sigs = rng.integers(-(2**63), 2**63 - 1, size=100, dtype=np.int64)
+    df = spark.createDataFrame([(int(s),) for s in sigs], "simhash long")
+    cols = simhash_block_cols("simhash")
+    got = np.array(
+        df.select(*[c.alias(f"b{i}") for i, c in enumerate(cols)]).collect()
+    )
+    want = R.simhash_blocks(sigs)
+    assert np.array_equal(got, want)

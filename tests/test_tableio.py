@@ -1,0 +1,60 @@
+"""CheckpointStore: atomic commit, snapshot isolation, vacuum, invalidate."""
+
+import os
+
+import pytest
+
+from simhash_spark.sources.tableio import CheckpointStore
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return CheckpointStore(spark, str(tmp_path))
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def test_commit_read_roundtrip(store, spark):
+    store.write("s1", _df(spark, [1, 2, 3]))
+    assert store.is_committed("s1")
+    assert sorted(r.x for r in store.read("s1").collect()) == [1, 2, 3]
+    m = store.read_manifest("s1")
+    assert m["rows"] == 3 and m["n_files"] >= 1
+
+
+def test_uncommitted_read_raises(store):
+    assert not store.is_committed("nope")
+    with pytest.raises(FileNotFoundError):
+        store.read("nope")
+
+
+def test_overwrite_keeps_old_snapshot_until_vacuum(store, spark):
+    store.write("s", _df(spark, [1]))
+    old_reader = store.read("s")          # holds a reference to snapshot 1
+    store.write("s", _df(spark, [7, 8]))  # snapshot 2
+    assert sorted(r.x for r in old_reader.collect()) == [1]       # isolation
+    assert sorted(r.x for r in store.read("s").collect()) == [7, 8]
+    sdir = os.path.join(store.base, "s")
+    assert sum(n.startswith("data-") for n in os.listdir(sdir)) == 2
+    store.vacuum("s")
+    assert sum(n.startswith("data-") for n in os.listdir(sdir)) == 1
+    assert sorted(r.x for r in store.read("s").collect()) == [7, 8]
+
+
+def test_invalidate_from_drops_suffix(store, spark):
+    for s in ["a", "b", "c"]:
+        store.write(s, _df(spark, [1]))
+    store.invalidate_from(["a", "b", "c"], "b")
+    assert store.is_committed("a")
+    assert not store.is_committed("b")
+    assert not store.is_committed("c")
+
+
+def test_metrics_and_lineage_append(store):
+    store.append_metric("m1", 42, stage="x")
+    store.append_metric("m2", 3.14)
+    ms = store.metrics()
+    assert [m["metric"] for m in ms] == ["m1", "m2"]
+    assert ms[0]["stage"] == "x"
