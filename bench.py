@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+signature+LSH throughput on a deterministic synthetic clips corpus
+(clips/sec — the north-rule throughput metric).
+
+Extra env knobs:
+  SPARK_GRAFT_SF_DIR     testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       cores for local[] master (default 32)
+  BENCH_CLIPS_N          synthetic clips rows (default 50000)
+  BENCH_SKIP_CLIPS=1     skip the clips-throughput section
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CLIPS_N = int(os.environ.get("BENCH_CLIPS_N", "50000"))
+CLIPS_CACHE = os.environ.get("BENCH_CLIPS_CACHE", "/tmp/simhash-bench-clips")
+
+HEADLINE = [
+    "tpch_q1",
+    "customer_revenue",
+    "top_docs_per_source",
+    "events_hourly",
+    "user_sessions",
+    "jaccard_neardup_pairs",
+    "substring_pairs",
+    "cosine_topk",
+    "doc_dup_clusters",
+]
+
+
+def _clips_parquet(n: int) -> str:
+    """Synthesize-once cache of the bench clips corpus (seeded)."""
+    path = os.path.join(CLIPS_CACHE, f"n{n}-seed42")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from simhash_spark.sources.synth import write_clips_parquet
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_clips_parquet(path, n, seed=42, dur_ms_range=(100, 300))
+        open(marker, "w").close()
+    return os.path.join(path, "clips.parquet")
+
+
+def clips_throughput(spark, n: int) -> dict:
+    """Signature+LSH stage throughput: normalize -> simhash+minhash bands +
+    grams -> candidate pairs (materialized via count)."""
+    from pyspark.sql import functions as F
+
+    from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
+    from simhash_spark.operators.lsh import build_bands, candidate_pairs
+
+    path = _clips_parquet(n)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # explicit partitioning: the corpus arrives as one parquet file locally;
+    # without a repartition the UDF stages would run on <=2 tasks.
+    clips = (
+        spark.read.parquet(path)
+        .select("clip_id", "transcript")
+        .repartition(n_part, "clip_id")
+    )
+    t0 = time.time()
+    # materialize each stage once (the checkpointed pipeline does this via
+    # stage tables; multiple consumers would otherwise re-run the UDFs).
+    norm = clips.select(
+        "clip_id", normalize_udf("transcript").alias("norm_text")
+    ).localCheckpoint(eager=True)
+    sigs = norm.select(
+        "clip_id", simhash64_udf("norm_text").alias("simhash")
+    ).localCheckpoint(eager=True)
+    bands = build_bands(norm, sigs).localCheckpoint(eager=True)
+    pairs = candidate_pairs(bands, band_group_cap=2000)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    return {
+        "rows": n,
+        "candidate_pairs": n_pairs,
+        "wall_sec": round(wall, 3),
+        "clips_per_sec": round(n / wall, 1),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from simhash_spark.session import get_spark
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(
+        app="simhash-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    qs = E.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.count()  # materialize the full plan
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    result = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("BENCH_SKIP_CLIPS") != "1":
+        result["clips_sig_lsh"] = clips_throughput(spark, CLIPS_N)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

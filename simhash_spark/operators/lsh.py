@@ -108,26 +108,33 @@ def candidate_pairs(
     # (the vast majority of band rows at realistic dup rates).
     multi = counts.filter(F.col("grp_n") >= 2)
 
+    # Attach grp_n/hub: plain shuffle equi-join (NOT broadcast — `multi`
+    # can be billions of keys at 10^12 rows); AQE handles skew. PERSIST:
+    # three consumers (metrics agg, cold self-join x2 branches, star
+    # filter) would otherwise re-run the join per branch.
+    annotated = bands.join(multi, _KEYS, "inner").persist()
+
     if metrics_sink is not None:
-        hm = multi.filter(
-            (F.col("grp_n") > band_group_cap) & (F.col("det") != "exact")
-        ).agg(
-            F.count("*").alias("hot_groups"),
-            F.coalesce(F.sum("grp_n"), F.lit(0)).alias("hot_rows"),
-        ).collect()[0]
+        hm = (
+            annotated.filter(
+                (F.col("grp_n") > band_group_cap) & (F.col("det") != "exact")
+            )
+            .groupBy(*_KEYS)
+            .agg(F.first("grp_n").alias("grp_n"))
+            .agg(
+                F.count("*").alias("hot_groups"),
+                F.coalesce(F.sum("grp_n"), F.lit(0)).alias("hot_rows"),
+            )
+            .collect()[0]
+        )
         metrics_sink("lsh_hot_band_groups", int(hm["hot_groups"]), cap=band_group_cap)
         metrics_sink("lsh_hot_band_rows_starred", int(hm["hot_rows"]))
 
-    # Attach grp_n/hub to band rows: plain shuffle equi-join (NOT broadcast —
-    # `multi` can be billions of keys at 10^12 rows); AQE handles skew.
-    bands_multi = bands.join(multi, _KEYS, "inner")
-
     is_star = (F.col("grp_n") > band_group_cap) | (F.col("det") == "exact")
 
-    # cold path: full pairwise within group via self-join (group size <= cap
-    # bounds the worst group at cap^2/2 pairs).
-    cold_bands = bands_multi.filter(~is_star).select(*_KEYS, "clip_id")
-    cold_bands = cold_bands.repartition(n_part, "band_hash")
+    # cold path: full pairwise within group via co-partitioned self-join
+    # (group size <= cap bounds the worst group at cap^2/2 pairs).
+    cold_bands = annotated.filter(~is_star).select(*_KEYS, "clip_id")
     a = cold_bands.alias("a")
     b = cold_bands.alias("b")
     pairs_cold = (
@@ -145,7 +152,7 @@ def candidate_pairs(
     # (identical text is transitively dup); for over-cap groups it is the
     # logged approximation that avoids O(n^2).
     pairs_hot = (
-        bands_multi.filter(is_star)
+        annotated.filter(is_star)
         .where(F.col("clip_id") != F.col("hub"))
         .select(F.col("hub").alias("a"), F.col("clip_id").alias("b"), F.col("det"))
     )
