@@ -421,6 +421,35 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish regex token counting: word runs and single punctuation
+    marks counted separately (both engines use the same RE2/Java-safe
+    pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(norm, F.lit("[a-z0-9]+")).cast("long").alias("n_word_tokens"),
+        F.regexp_count(norm, F.lit("[^a-z0-9 ]")).cast("long").alias("n_sym_tokens"),
+    )
+
+
+def q_srp_ann_topk(spark, sf_dir):
+    """LSH-bucketed (sign-random-projection) ANN top-k — the scale path
+    next to the oracle-checked brute-force cosine_topk."""
+    from simhash_spark.operators.ann import srp_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return srp_bucket_topk(e, q, dim=dim, k=10, n_bits=10, n_tables=8).select(
+        "query_id", "vec_id", "rnk"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -444,12 +473,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental": q_events_incremental,
         "user_sessions": q_user_sessions,
         "doc_setops": q_doc_setops,
+        "token_count_regex": q_token_count_regex,
         # Spark-only (rows-only check):
         "simhash_signatures": q_simhash_signatures,
         "minhash_bands": q_minhash_bands,
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
         "audio_features": q_audio_features,
+        "srp_ann_topk": q_srp_ann_topk,
     }
 
 
@@ -588,6 +619,12 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "token_count_regex": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all({norm}, '[a-z0-9]+'))::BIGINT AS n_word_tokens,
+                   len(regexp_extract_all({norm}, '[^a-z0-9 ]'))::BIGINT AS n_sym_tokens
+            FROM documents
         """,
         "doc_setops": """
             (SELECT doc_id FROM documents WHERE n_chars > 400

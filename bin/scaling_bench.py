@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Two-parallelism-level scaling bench (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+This sandbox has no multi-node cluster, so — per the driver directive —
+the SAME job runs on the SAME physical input at local[8] and local[32]
+(fresh JVM each, fresh checkpoint dir each) and we report throughput at
+both plus efficiency = (T_low / T_high) / (cores_high / cores_low).
+
+Each measurement is a separate spark-submit-style subprocess so the two
+runs share nothing but the input files. Writes BENCH/scaling.json and
+regenerates the table in BENCH/BASELINE.md.
+
+Usage: python bin/scaling_bench.py [--rows 200000] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHILD = r"""
+import json, sys, time, shutil, tempfile
+sys.path.insert(0, {repo!r})
+from simhash_spark.session import get_spark
+from simhash_spark.config import EngineConfig
+from simhash_spark.plans.pipeline import DedupPipeline
+
+cores = {cores}
+spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+clips = spark.read.parquet({clips_path!r}).repartition(cores * 2, "clip_id")
+ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-")
+t0 = time.time()
+pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=cores * 2))
+clusters = pipe.run(clips)
+n = clusters.count()
+wall = time.time() - t0
+shutil.rmtree(ckpt, ignore_errors=True)
+print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
+                               "rows_per_sec": n / wall}}))
+"""
+
+
+def run_at(cores: int, clips_path: str) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child at local[{cores}] failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    from simhash_spark.sources.synth import write_clips_parquet
+
+    corpus = os.path.join(
+        os.environ.get("BENCH_CLIPS_CACHE", "/tmp/simhash-bench-clips"),
+        f"scaling-n{args.rows}-seed42",
+    )
+    clips_path = os.path.join(corpus, "clips.parquet")
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        print(f"synthesizing {args.rows} clips ...", file=sys.stderr)
+        write_clips_parquet(corpus, args.rows, seed=42, dur_ms_range=(100, 200))
+        open(os.path.join(corpus, "_DONE"), "w").close()
+
+    results = {}
+    for cores in (args.low, args.high):
+        print(f"running local[{cores}] ...", file=sys.stderr)
+        results[cores] = run_at(cores, clips_path)
+        print(f"  {results[cores]}", file=sys.stderr)
+
+    lo, hi = results[args.low], results[args.high]
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / (args.high / args.low)
+    report = {
+        "rows": args.rows,
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "core_ratio": args.high / args.low,
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+        "ts": time.time(),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,14 +89,10 @@ class CheckpointStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
-        # per-file lineage: one aggregate scan over footer-cheap columns.
-        # (On Iceberg this comes free from the snapshot manifest.)
-        files = (
-            self.spark.read.parquet(data_dir)
-            .groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
+        # per-file lineage from parquet FOOTERS (no Spark scan — footer
+        # metadata only; on Iceberg this comes free from the snapshot
+        # manifest).
+        files = _parquet_file_rows(data_dir)
         rows = sum(r["count"] for r in files)
         manifest = {
             "stage": stage,
@@ -184,6 +180,19 @@ class CheckpointStore:
             return []
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+def _parquet_file_rows(data_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, names in sorted(os.walk(data_dir)):
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                p = os.path.join(root, name)
+                md = pq.ParquetFile(p).metadata
+                out.append({"file": os.path.relpath(p, data_dir), "count": md.num_rows})
+    return out
 
 
 def _sem_json() -> dict:
