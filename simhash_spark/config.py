@@ -38,11 +38,22 @@ NUM_PERM = 128
 BANDS = 32
 ROWS = 4
 
-#: SimHash Hamming-ball banding: HAM_D max differing bits; pigeonhole over
-#: BLOCKS equal bit-blocks guarantees any pair within HAM_D shares >=1 block.
+#: SimHash Hamming-ball banding, Manku et al. WWW'07 style: split the 64
+#: bits into SIM_BLOCKS blocks; any pair with hamming <= HAM_D leaves
+#: >= SIM_BLOCKS - HAM_D blocks untouched, so keying every combination of
+#: (SIM_BLOCKS - HAM_D) blocks guarantees a shared key (pigeonhole) while
+#: the ~33-bit keys keep accidental collisions ~2^17x rarer than naive
+#: 16-bit quarter-blocks — THE difference between O(n^2/2^16) and
+#: O(n^2/2^33) candidate pairs at corpus scale.
 HAM_D = 3
-SIM_BLOCKS = 4
-SIM_BLOCK_BITS = SIG_BITS // SIM_BLOCKS  # 16
+SIM_BLOCKS = 6
+#: per-block bit widths (sum = 64)
+SIM_BLOCK_WIDTHS = (11, 11, 11, 11, 10, 10)
+#: all (SIM_BLOCKS - HAM_D)-block combinations, each one LSH table
+SIM_TABLE_COMBOS = tuple(
+    __import__("itertools").combinations(range(SIM_BLOCKS), SIM_BLOCKS - HAM_D)
+)
+SIM_TABLES = len(SIM_TABLE_COMBOS)  # C(6,3) = 20
 
 #: Verification thresholds (SURVEY.md §2.2 VERIFY line).
 VERIFY_HAMMING_MAX = 3
@@ -116,6 +127,8 @@ SEMANTICS = {
     "rows": ROWS,
     "ham_d": HAM_D,
     "sim_blocks": SIM_BLOCKS,
+    "sim_block_widths": list(SIM_BLOCK_WIDTHS),
+    "sim_tables": SIM_TABLES,
     "verify_hamming_max": VERIFY_HAMMING_MAX,
     "verify_jaccard_min": VERIFY_JACCARD_MIN,
     "substr_min_len": SUBSTR_MIN_LEN,

@@ -63,9 +63,11 @@ def substring_grams_udf(norm: pd.Series) -> pd.Series:
 @F.pandas_udf(T.DoubleType())
 def jaccard_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.Series:
     """Exact char-5-shingle Jaccard between two normalized texts
-    (verification path — runs on candidate pairs only)."""
+    (verification path — runs on candidate pairs only). Vectorized batch
+    kernel: both sides shingled+hashed once, intersections counted via
+    one lexsort — no per-pair Python."""
     return pd.Series(
-        [R.jaccard(a, b) for a, b in zip(norm_a.fillna(""), norm_b.fillna(""))],
+        R.jaccard_batch(norm_a.fillna("").tolist(), norm_b.fillna("").tolist()),
         dtype="float64",
     )
 
@@ -96,15 +98,25 @@ def hamming_col(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_block_cols(sig: Column | str) -> list[Column]:
-    """SIM_BLOCKS 16-bit block values of a simhash column — pure JVM
-    (shiftrightunsigned + mask), matching reference.simhash_blocks."""
+def simhash_table_key_cols(sig: Column | str) -> list[Column]:
+    """SIM_TABLES Manku-style LSH-table keys of a simhash column — pure
+    JVM (shifts + masks), matching reference.simhash_table_keys: each key
+    packs the table index + one (SIM_BLOCKS-HAM_D)-block combination."""
     sig = F.col(sig) if isinstance(sig, str) else sig
-    mask = (1 << C.SIM_BLOCK_BITS) - 1
-    return [
-        (F.shiftrightunsigned(sig, j * C.SIM_BLOCK_BITS).bitwiseAND(F.lit(mask)))
+    offsets = [sum(C.SIM_BLOCK_WIDTHS[:i]) for i in range(C.SIM_BLOCKS)]
+    blocks = [
+        F.shiftrightunsigned(sig, offsets[j]).bitwiseAND(
+            F.lit((1 << C.SIM_BLOCK_WIDTHS[j]) - 1)
+        )
         for j in range(C.SIM_BLOCKS)
     ]
+    keys = []
+    for t, combo in enumerate(C.SIM_TABLE_COMBOS):
+        key = F.lit(t).cast("long")
+        for b in combo:
+            key = F.shiftleft(key, C.SIM_BLOCK_WIDTHS[b]).bitwiseOR(blocks[b])
+        keys.append(key)
+    return keys
 
 
 def norm_text_col(text: Column | str) -> Column:

@@ -4,8 +4,10 @@ Three detectors share one band-table shape
 ``(clip_id, det, band_id, band_hash)``:
 
 - ``exact``  — xxhash64 of the normalized text (JVM-side, zero UDF);
-- ``sim``    — 4 x 16-bit SimHash blocks (JVM-side shifts; pigeonhole
-               covers hamming <= 3);
+- ``sim``    — Manku-style SimHash tables: C(6,3)=20 keys, each packing
+               3 of 6 blocks (~33 bits; JVM shifts; pigeonhole covers
+               hamming <= 3 with ~2^17x fewer accidental collisions than
+               naive 16-bit quarter blocks);
 - ``mh``     — 32 MinHash band hashes (fused minhash+banding pandas UDF);
 - ``gram``   — content-sampled 16-char gram ids (substring detector).
 
@@ -20,9 +22,9 @@ Scale design (the part that must survive 10^12 rows):
   (hub = min clip_id — identical text is transitively duplicate, so no
   pairwise loss), and hot sim/mh/gram groups emit star edges too
   (approximation, counts logged to _metrics — no silent truncation).
-- The hot-group list is tiny (distinct over-cap keys) => broadcast
-  anti-join; no shuffle of the big side beyond the one the pair join
-  needs anyway.
+- Pair dedupe also counts per-detector band hits (mh_hits/gram_hits) and
+  flags star edges — verify uses these as free LSH-evidence gates so the
+  Python tier only sees pairs that can plausibly pass.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from pyspark.sql import functions as F
 from simhash_spark import config as C
 from simhash_spark.functions.signatures import (
     minhash_bands_udf,
-    simhash_block_cols,
+    simhash_table_key_cols,
     substring_grams_udf,
 )
 
@@ -58,11 +60,15 @@ def build_bands(
     )
 
     if "simhash" in detectors:
-        blocks = simhash_block_cols("simhash")
+        keys = simhash_table_key_cols("simhash")
+        # table index is packed INSIDE each key -> band_id stays 0 and one
+        # flat band_hash column carries all SIM_TABLES tables.
         sim = signatures.select(
             "clip_id",
-            F.posexplode(F.array(*blocks)).alias("band_id", "band_hash"),
-        ).select("clip_id", F.lit("sim").alias("det"), "band_id", "band_hash")
+            F.explode(F.array(*keys)).alias("band_hash"),
+        ).select(
+            "clip_id", F.lit("sim").alias("det"), F.lit(0).alias("band_id"), "band_hash"
+        )
         parts.append(sim)
 
     if "minhash" in detectors:
@@ -144,6 +150,7 @@ def candidate_pairs(
             F.col("a.clip_id").alias("a"),
             F.col("b.clip_id").alias("b"),
             F.col("det"),
+            F.lit(0).alias("starred"),
         )
     )
 
@@ -154,19 +161,32 @@ def candidate_pairs(
     pairs_hot = (
         annotated.filter(is_star)
         .where(F.col("clip_id") != F.col("hub"))
-        .select(F.col("hub").alias("a"), F.col("clip_id").alias("b"), F.col("det"))
+        .select(
+            F.col("hub").alias("a"),
+            F.col("clip_id").alias("b"),
+            F.col("det"),
+            F.lit(1).alias("starred"),
+        )
     )
 
     pairs = pairs_cold.unionByName(pairs_hot)
-    # one pair may surface from many bands/detectors — keep exact > sim >
-    # mh > gram priority so verify can trust det=='exact' as pre-verified.
+    # one pair may surface from many bands/detectors — dedupe keeping
+    # exact > sim > mh > gram priority, and COUNT per-detector band hits:
+    # verify uses mh_hits as a free jaccard pre-filter (a true j>=0.8
+    # pair hits >=2 of the 32 minhash bands w.p. 1-3e-5) and gram_hits to
+    # route substring checks.
     pr = F.when(F.col("det") == "exact", 0).when(F.col("det") == "sim", 1).when(
         F.col("det") == "mh", 2
     ).otherwise(3)
     pairs = (
         pairs.withColumn("det_pr", pr)
         .groupBy("a", "b")
-        .agg(F.min("det_pr").alias("det_pr"))
+        .agg(
+            F.min("det_pr").alias("det_pr"),
+            F.sum(F.when(F.col("det") == "mh", 1).otherwise(0)).alias("mh_hits"),
+            F.sum(F.when(F.col("det") == "gram", 1).otherwise(0)).alias("gram_hits"),
+            F.max("starred").alias("starred"),
+        )
         .select(
             "a",
             "b",
@@ -174,6 +194,9 @@ def candidate_pairs(
                 F.array(F.lit("exact"), F.lit("sim"), F.lit("mh"), F.lit("gram")),
                 F.col("det_pr") + 1,
             ).alias("det"),
+            "mh_hits",
+            "gram_hits",
+            "starred",
         )
     )
     return pairs

@@ -1,13 +1,21 @@
 """Candidate-pair verification: Hamming / Jaccard / substring.
 
 Tiered so the expensive (Python/Arrow) checks only see pairs the cheap
-(JVM) checks couldn't settle:
+(JVM) checks couldn't settle — and, crucially, EXPLICIT DataFrame splits:
+a pandas UDF inside ``when()`` still evaluates for every row (Spark
+computes ArrowEvalPython projections unconditionally), so each UDF gets
+its own pre-filtered DataFrame instead.
 
-  tier 0 — det=='exact' pairs: identical normalized text, pre-verified.
+  tier 0 — det=='exact': identical normalized text, pre-verified.
   tier 1 — Hamming on the 64-bit simhashes: ``bit_count(a ^ b)`` — pure
-           whole-stage-codegen JVM, zero Python.
-  tier 2 — exact char-5-shingle Jaccard + substring containment: Arrow
-           pandas UDFs over only the pairs that failed tiers 0-1.
+           whole-stage-codegen JVM; only the 8-byte sigs are joined here.
+  tier 2 — texts are joined ONLY for pairs that pass the LSH-evidence
+           gates (band-hit counts collected for free during pair dedupe):
+             jaccard   : mh_hits >= 2 (true j>=0.8 misses w.p. ~3e-5),
+                         or any mh hit on a starred hot-band edge;
+             substring : gram_hits >= gram_hits_min (default 2 — a
+                         64-char span samples ~6 grams; P(<2) ~ 1.1%),
+                         or any gram hit on a starred edge.
 
 VERIFY rule (config.py, SURVEY.md §2.2): hamming <= 3 OR jaccard >= 0.8
 OR verbatim containment of the (>= 64-char) shorter side.
@@ -25,36 +33,29 @@ from simhash_spark.functions.signatures import (
     substring_contained_udf,
 )
 
+_OUT_COLS = ["a", "b", "det", "method", "hamming", "jaccard"]
+
 
 def verify_pairs(
     pairs: DataFrame,
-    normalized: DataFrame,
-    signatures: DataFrame,
+    profile: DataFrame,
+    gram_hits_min: int = 2,
     metrics_sink=None,
 ) -> DataFrame:
-    """pairs(a, b, det) -> verified_pairs(a, b, det, method, hamming,
-    jaccard).
+    """pairs(a, b, det, mh_hits, gram_hits, starred) ->
+    verified_pairs(a, b, det, method, hamming, jaccard).
 
-    ``normalized``: (clip_id, norm_text); ``signatures``: (clip_id, simhash).
-    Joins are plain sort-merge on clip_id (pairs are a small fraction of
-    the corpus; the side tables are pre-bucketable on clip_id in the
-    Iceberg layout).
-    """
-    side = normalized.join(signatures, "clip_id").select(
-        "clip_id", "norm_text", "simhash"
+    ``profile``: (clip_id, norm_text, simhash)."""
+    sigs = profile.select("clip_id", "simhash")
+    joined = (
+        pairs.join(
+            sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")), "a"
+        )
+        .join(
+            sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")), "b"
+        )
+        .withColumn("hamming", hamming_col("sig_a", "sig_b"))
     )
-    pa = side.select(
-        F.col("clip_id").alias("a"),
-        F.col("norm_text").alias("norm_a"),
-        F.col("simhash").alias("sig_a"),
-    )
-    pb = side.select(
-        F.col("clip_id").alias("b"),
-        F.col("norm_text").alias("norm_b"),
-        F.col("simhash").alias("sig_b"),
-    )
-    joined = pairs.join(pa, "a").join(pb, "b")
-    joined = joined.withColumn("hamming", hamming_col("sig_a", "sig_b"))
 
     tier01 = joined.filter(
         (F.col("det") == "exact") | (F.col("hamming") <= C.VERIFY_HAMMING_MAX)
@@ -67,27 +68,46 @@ def verify_pairs(
         F.lit(None).cast("double").alias("jaccard"),
     )
 
+    needs_jac = (F.col("mh_hits") >= 2) | (
+        (F.col("starred") == 1) & (F.col("mh_hits") >= 1)
+    )
+    needs_sub = (F.col("gram_hits") >= gram_hits_min) | (
+        (F.col("starred") == 1) & (F.col("gram_hits") >= 1)
+    )
     rest = joined.filter(
         (F.col("det") != "exact") & (F.col("hamming") > C.VERIFY_HAMMING_MAX)
-    )
-    tier2 = (
-        rest.withColumn("jaccard", jaccard_udf("norm_a", "norm_b"))
-        .withColumn(
-            "contained",
-            F.when(
-                F.col("jaccard") >= C.VERIFY_JACCARD_MIN, F.lit(False)
-            ).otherwise(substring_contained_udf("norm_a", "norm_b")),
-        )
-        .filter((F.col("jaccard") >= C.VERIFY_JACCARD_MIN) | F.col("contained"))
-        .select(
+    ).filter(needs_jac | needs_sub)
+
+    # texts joined ONLY for the gated survivors (tiny vs the pair table).
+    texts = profile.select("clip_id", "norm_text")
+    cand = (
+        rest.join(
+            texts.select(F.col("clip_id").alias("a"), F.col("norm_text").alias("norm_a")),
             "a",
-            "b",
-            "det",
-            F.when(F.col("jaccard") >= C.VERIFY_JACCARD_MIN, "jaccard")
-            .otherwise("substring")
-            .alias("method"),
-            "hamming",
-            "jaccard",
         )
+        .join(
+            texts.select(F.col("clip_id").alias("b"), F.col("norm_text").alias("norm_b")),
+            "b",
+        )
+        .persist()
     )
-    return tier01.unionByName(tier2)
+
+    jac = (
+        cand.filter(needs_jac)
+        .withColumn("jaccard", jaccard_udf("norm_a", "norm_b"))
+        .persist()
+    )
+    jac_pass = jac.filter(F.col("jaccard") >= C.VERIFY_JACCARD_MIN).select(
+        "a", "b", "det", F.lit("jaccard").alias("method"), "hamming", "jaccard"
+    )
+    sub_in = cand.filter(needs_sub & ~needs_jac).withColumn(
+        "jaccard", F.lit(None).cast("double")
+    ).unionByName(
+        jac.filter((F.col("jaccard") < C.VERIFY_JACCARD_MIN) & needs_sub),
+        allowMissingColumns=False,
+    )
+    sub_pass = sub_in.filter(substring_contained_udf("norm_a", "norm_b")).select(
+        "a", "b", "det", F.lit("substring").alias("method"), "hamming", "jaccard"
+    )
+
+    return tier01.unionByName(jac_pass).unionByName(sub_pass)

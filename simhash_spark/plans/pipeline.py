@@ -3,12 +3,15 @@
 Stage DAG (each committed atomically via CheckpointStore; a re-run skips
 every committed stage — idempotent resume, SURVEY.md §5.2 item 5):
 
-    normalized       (clip_id, norm_text)
-    signatures       (clip_id, simhash)
+    profile          (clip_id, norm_text, simhash)
     bands            (clip_id, det, band_id, band_hash)
     candidate_pairs  (a, b, det)
     verified_pairs   (a, b, det, method, hamming, jaccard)
     clusters         (clip_id, cluster_id)
+
+``profile`` fuses normalization and the simhash signature into ONE stage
+table: one Arrow pass over the corpus, and verify joins a single side
+table instead of two.
 
 The audio ``bytes`` column never enters the pipeline — it stays in the
 source table and is re-joined by clip_id on demand (pass-through
@@ -30,8 +33,7 @@ from simhash_spark.operators.verify import verify_pairs
 from simhash_spark.sources.tableio import CheckpointStore
 
 STAGES = [
-    "normalized",
-    "signatures",
+    "profile",
     "bands",
     "candidate_pairs",
     "verified_pairs",
@@ -50,7 +52,6 @@ class DedupPipeline:
         self.cfg = cfg or EngineConfig()
         self.store = CheckpointStore(spark, checkpoint_dir, run_config=self.cfg.to_dict())
 
-    # each stage: build from upstream committed tables, commit, return df.
     def run(self, clips: DataFrame) -> DataFrame:
         """Run (or resume) the full pipeline; returns the clusters table."""
         t0 = time.time()
@@ -59,22 +60,15 @@ class DedupPipeline:
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
 
-        if not store.is_committed("normalized"):
-            norm = clips.select(
+        if not store.is_committed("profile"):
+            profile = clips.select(
                 "clip_id", normalize_udf("transcript").alias("norm_text")
-            )
-            store.write("normalized", norm)
-        normalized = store.read("normalized")
-
-        if not store.is_committed("signatures"):
-            sigs = normalized.select(
-                "clip_id", simhash64_udf("norm_text").alias("simhash")
-            )
-            store.write("signatures", sigs)
-        signatures = store.read("signatures")
+            ).withColumn("simhash", simhash64_udf("norm_text"))
+            store.write("profile", profile)
+        profile = store.read("profile")
 
         if not store.is_committed("bands"):
-            bands = build_bands(normalized, signatures, detectors=cfg.detectors)
+            bands = build_bands(profile, profile, detectors=cfg.detectors)
             store.write("bands", bands)
         bands = store.read("bands")
 
@@ -90,7 +84,7 @@ class DedupPipeline:
 
         if not store.is_committed("verified_pairs"):
             verified = verify_pairs(
-                pairs, normalized, signatures, metrics_sink=store.append_metric
+                pairs, profile, metrics_sink=store.append_metric
             )
             store.write("verified_pairs", verified)
         verified = store.read("verified_pairs")

@@ -194,17 +194,19 @@ def shingle_ids(norm_text: str) -> np.ndarray:
     return np.unique(ids)
 
 
-def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
-    """(n, NUM_PERM) int64 minhash signatures for ALREADY-normalized
-    texts. Empty shingle set -> all-MINHASH_EMPTY row."""
+def _row_distinct_shingle_ids(
+    norms: Sequence[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch shingling: -> (row_idx, ids, starts) where ids are DISTINCT
+    per row, sorted by (row, id); starts has len n+1. Flattens all
+    shingles, hashes once, dedups per row via lexsort — no per-row
+    Python hashing."""
     n = len(norms)
-    out = np.full((n, C.NUM_PERM), C.MINHASH_EMPTY, dtype=np.int64)
-    # Flatten all shingles across the batch, hash ONCE, then per-row
-    # distinct via lexsort — no per-row Python hashing.
     shs = [char_shingles(nt, C.MINHASH_SHINGLE_K) for nt in norms]
     lens = np.array([len(s) for s in shs], dtype=np.int64)
+    starts = np.zeros(n + 1, dtype=np.int64)
     if lens.sum() == 0:
-        return out
+        return np.empty(0, np.int64), np.empty(0, np.uint64), starts
     flat_ids = hash64_batch([s for row in shs for s in row]) % np.uint64(
         C.MINHASH_PRIME
     )
@@ -215,8 +217,45 @@ def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
     keep[1:] = (rs[1:] != rs[:-1]) | (ids_s[1:] != ids_s[:-1])
     rs, x = rs[keep], ids_s[keep]
     counts = np.bincount(rs, minlength=n)
-    starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
+    return rs, x, starts
+
+
+def jaccard_batch(norms_a: Sequence[str], norms_b: Sequence[str]) -> np.ndarray:
+    """Exact per-row Jaccard of char-5-shingle sets between two equal-
+    length batches — fully vectorized (no per-pair Python): both sides'
+    distinct (row, id) pairs are concatenated and sorted; an id appearing
+    twice for a row is an intersection hit."""
+    n = len(norms_a)
+    ra, ia, sa = _row_distinct_shingle_ids(norms_a)
+    rb, ib, sb = _row_distinct_shingle_ids(norms_b)
+    ca = (sa[1:] - sa[:-1]).astype(np.float64)
+    cb = (sb[1:] - sb[:-1]).astype(np.float64)
+    rows = np.concatenate([ra, rb])
+    ids = np.concatenate([ia, ib])
+    if len(ids):
+        order = np.lexsort((ids, rows))
+        rs, vs = rows[order], ids[order]
+        dup = (rs[1:] == rs[:-1]) & (vs[1:] == vs[:-1])
+        inter = np.bincount(rs[1:][dup], minlength=n).astype(np.float64)
+    else:
+        inter = np.zeros(n)
+    union = ca + cb - inter
+    out = np.zeros(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    out[(ca == 0) & (cb == 0)] = 1.0  # two empty shingle sets are identical
+    return out
+
+
+def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
+    """(n, NUM_PERM) int64 minhash signatures for ALREADY-normalized
+    texts. Empty shingle set -> all-MINHASH_EMPTY row."""
+    n = len(norms)
+    out = np.full((n, C.NUM_PERM), C.MINHASH_EMPTY, dtype=np.int64)
+    rs, x, starts = _row_distinct_shingle_ids(norms)
+    if len(x) == 0:
+        return out
     # h_j(x) = (a_j * x + b_j) mod p ; a,x < 2^31 so product < 2^62 (no
     # overflow). Evaluated in row-aligned chunks (~64 MB temporaries) with
     # Mersenne-31 folding instead of integer division — exact same values
@@ -287,14 +326,36 @@ def minhash_band_hashes(sigs: np.ndarray) -> np.ndarray:
     return _mix64(acc).astype(np.int64)
 
 
+_BLOCK_OFFSETS = tuple(
+    sum(C.SIM_BLOCK_WIDTHS[:i]) for i in range(C.SIM_BLOCKS)
+)
+
+
 def simhash_blocks(sigs: np.ndarray) -> np.ndarray:
-    """(n,) int64 simhash -> (n, SIM_BLOCKS) int64 16-bit blocks.
-    Pigeonhole: hamming(a,b) <= HAM_D=3 < SIM_BLOCKS=4 => >=1 equal block."""
+    """(n,) int64 simhash -> (n, SIM_BLOCKS) int64 variable-width blocks
+    (widths from config.SIM_BLOCK_WIDTHS, LSB-first)."""
     u = np.asarray(sigs, dtype=np.int64).astype(np.uint64)
     out = np.empty((len(u), C.SIM_BLOCKS), dtype=np.int64)
-    mask = np.uint64((1 << C.SIM_BLOCK_BITS) - 1)
-    for j in range(C.SIM_BLOCKS):
-        out[:, j] = ((u >> np.uint64(j * C.SIM_BLOCK_BITS)) & mask).astype(np.int64)
+    for j, (off, width) in enumerate(zip(_BLOCK_OFFSETS, C.SIM_BLOCK_WIDTHS)):
+        mask = np.uint64((1 << width) - 1)
+        out[:, j] = ((u >> np.uint64(off)) & mask).astype(np.int64)
+    return out
+
+
+def simhash_table_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n,) int64 simhash -> (n, SIM_TABLES) int64 LSH-table keys: each
+    key packs one (SIM_BLOCKS - HAM_D)-block combination (Manku-style).
+    Pigeonhole: hamming(a,b) <= HAM_D => >= SIM_BLOCKS-HAM_D clean blocks
+    => at least one combination is entirely clean => equal key in that
+    table. Keys include the table index, so one flat (band_hash) column
+    suffices."""
+    blocks = simhash_blocks(sigs).astype(np.int64)
+    out = np.empty((len(blocks), C.SIM_TABLES), dtype=np.int64)
+    for t, combo in enumerate(C.SIM_TABLE_COMBOS):
+        key = np.full(len(blocks), np.int64(t))
+        for b in combo:
+            key = (key << np.int64(C.SIM_BLOCK_WIDTHS[b])) | blocks[:, b]
+        out[:, t] = key
     return out
 
 

@@ -99,9 +99,9 @@ def test_banding_pigeonhole_exhaustive():
             other = np.int64(sig)
             for bit in fl:
                 other = np.int64(np.uint64(other) ^ (np.uint64(1) << np.uint64(bit)))
-            ba = R.simhash_blocks(np.array([sig]))[0]
-            bb = R.simhash_blocks(np.array([other]))[0]
-            assert (ba == bb).any(), (sig, fl)
+            ka = R.simhash_table_keys(np.array([sig]))[0]
+            kb = R.simhash_table_keys(np.array([other]))[0]
+            assert (ka == kb).any(), (sig, fl)
 
 
 def test_minhash_estimates_jaccard():

@@ -15,7 +15,7 @@ from simhash_spark.functions.signatures import (
     minhash_udf,
     normalize_udf,
     simhash64_udf,
-    simhash_block_cols,
+    simhash_table_key_cols,
     substring_grams_udf,
 )
 
@@ -87,13 +87,33 @@ def test_hamming_col_matches_reference(spark):
     assert got == want
 
 
-def test_simhash_block_cols_match_reference(spark):
+def test_simhash_table_key_cols_match_reference(spark):
     rng = np.random.default_rng(6)
     sigs = rng.integers(-(2**63), 2**63 - 1, size=100, dtype=np.int64)
     df = spark.createDataFrame([(int(s),) for s in sigs], "simhash long")
-    cols = simhash_block_cols("simhash")
+    cols = simhash_table_key_cols("simhash")
     got = np.array(
-        df.select(*[c.alias(f"b{i}") for i, c in enumerate(cols)]).collect()
+        df.select(*[c.alias(f"k{i}") for i, c in enumerate(cols)]).collect()
     )
-    want = R.simhash_blocks(sigs)
+    want = R.simhash_table_keys(sigs)
     assert np.array_equal(got, want)
+
+
+def test_jaccard_udf_matches_reference(spark):
+    texts = _texts()
+    import itertools
+
+    pairs = list(itertools.islice(itertools.combinations(texts, 2), 80))
+    df = spark.createDataFrame(pairs, "ta string, tb string")
+    from simhash_spark.functions.signatures import jaccard_udf
+
+    got = [
+        r.j
+        for r in df.select(
+            jaccard_udf(normalize_udf("ta"), normalize_udf("tb")).alias("j")
+        ).collect()
+    ]
+    want = [
+        R.jaccard(R.normalize_text(a), R.normalize_text(b)) for a, b in pairs
+    ]
+    assert np.allclose(got, want, atol=0, rtol=0)
