@@ -107,6 +107,9 @@ class EngineConfig:
     cc_max_iters: int = 50
     #: Arrow batch size for pandas UDFs.
     arrow_batch: int = 10_000
+    #: Log per-detector band statistics (row counts + approx distinct
+    #: band hashes) to _metrics after the bands stage.
+    collect_stats: bool = True
     #: Which detectors to run.
     detectors: tuple = ("simhash", "minhash", "substring")
 

@@ -71,6 +71,21 @@ class DedupPipeline:
             bands = build_bands(profile, profile, detectors=cfg.detectors)
             store.write("bands", bands)
         bands = store.read("bands")
+        if cfg.collect_stats and not store.is_committed("candidate_pairs"):
+            for r in (
+                bands.groupBy("det")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.approx_count_distinct("band_hash").alias("approx_hashes"),
+                )
+                .collect()
+            ):
+                store.append_metric(
+                    "band_stats",
+                    int(r["rows"]),
+                    det=r["det"],
+                    approx_distinct_hashes=int(r["approx_hashes"]),
+                )
 
         if not store.is_committed("candidate_pairs"):
             pairs = candidate_pairs(

@@ -37,11 +37,43 @@ class IcebergUnavailable(RuntimeError):
     pass
 
 
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True if an Iceberg catalog is configured AND its classes load.
+    The sandbox image ships no iceberg-spark-runtime jar (SURVEY.md §7.0),
+    so production code paths gate on this."""
+    if not spark.conf.get(f"spark.sql.catalog.{catalog}", None):
+        return False
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, base_dir: str, run_config: dict | None = None):
+    """``catalog=None`` (default) -> parquet-manifest backend (this file).
+    ``catalog='name'`` -> Iceberg tables ``{catalog}.{namespace}.{stage}``
+    via atomic ``createOrReplace`` snapshots; requires the Iceberg runtime
+    jar + catalog conf, else raises IcebergUnavailable at construction."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        run_config: dict | None = None,
+        catalog: str | None = None,
+        namespace: str = "dedup",
+    ):
         self.spark = spark
         self.base = base_dir
         self.run_config = run_config or {}
+        self.catalog = catalog
+        self.namespace = namespace
+        if catalog is not None and not iceberg_available(spark, catalog):
+            raise IcebergUnavailable(
+                f"catalog {catalog!r} not configured or iceberg-spark-runtime "
+                "jar missing; use catalog=None for the parquet-manifest backend"
+            )
         os.makedirs(base_dir, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -58,6 +90,10 @@ class CheckpointStore:
         would silently recompute (or worse, mix) a possibly-huge
         checkpoint; the operator must delete the checkpoint dir (or pass
         a fresh one) explicitly."""
+        if self.catalog is not None:
+            return self.spark.catalog.tableExists(
+                f"{self.catalog}.{self.namespace}.{stage}"
+            )
         m = self.read_manifest(stage)
         if m is None:
             return False
@@ -80,6 +116,17 @@ class CheckpointStore:
         """Write ``df`` as the committed content of ``stage`` (idempotent
         overwrite). Returns the manifest. Records per-file (=per written
         partition) row counts into _lineage.jsonl."""
+        if self.catalog is not None:
+            # Iceberg path: atomic snapshot replace; lineage from the
+            # snapshot's own manifests.
+            ident = f"{self.catalog}.{self.namespace}.{stage}"
+            w = df.writeTo(ident)
+            if partition_by:
+                w = w.partitionedBy(*[df[c] for c in partition_by])
+            w.createOrReplace()
+            manifest = {"stage": stage, "iceberg_table": ident, "semantics": _sem_json()}
+            self.append_lineage({"event": "stage_commit", "stage": stage, "table": ident})
+            return manifest
         sdir = self._stage_dir(stage)
         os.makedirs(sdir, exist_ok=True)
         token = uuid.uuid4().hex[:12]
@@ -129,6 +176,8 @@ class CheckpointStore:
         return manifest
 
     def read(self, stage: str) -> DataFrame:
+        if self.catalog is not None:
+            return self.spark.read.table(f"{self.catalog}.{self.namespace}.{stage}")
         m = self.read_manifest(stage)
         if m is None:
             raise FileNotFoundError(f"stage {stage!r} not committed under {self.base}")

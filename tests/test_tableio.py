@@ -58,3 +58,14 @@ def test_metrics_and_lineage_append(store):
     ms = store.metrics()
     assert [m["metric"] for m in ms] == ["m1", "m2"]
     assert ms[0]["stage"] == "x"
+
+
+def test_iceberg_backend_gated(spark, tmp_path):
+    """Without the iceberg-spark-runtime jar the Iceberg backend must
+    refuse loudly (SURVEY.md §7.0: code to the interface, gate the jars)."""
+    import pytest as _pytest
+
+    from simhash_spark.sources.tableio import IcebergUnavailable
+
+    with _pytest.raises(IcebergUnavailable):
+        CheckpointStore(spark, str(tmp_path), catalog="lake")
