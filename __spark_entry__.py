@@ -200,39 +200,93 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_jaccard_neardup_pairs(spark, sf_dir):
+    """Token-set near-dup pairs (jaccard >= 0.8 within a language).
+
+    Spark plan: PPJoin-style PREFIX FILTERING — if J(A,B) >= t, then A's
+    first floor((1-t)|A|)+1 tokens (canonical order) must intersect B
+    (proof: otherwise |A-and-B| <= |A| - p < t|A| <= J-implied overlap).
+    Candidates come from an equi-join of A-prefix tokens vs all tokens,
+    then the EXACT jaccard verifies — lossless, so the naive O(n^2)
+    DuckDB oracle validates the result set verbatim."""
     d = _t(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens(_norm(F.col("text"))))
-    base = d.select("doc_id", "lang", toks.alias("toks"))
-    a = base.select(
-        F.col("doc_id").alias("a"), F.col("lang"), F.col("toks").alias("toks_a")
+    base = d.select("doc_id", "lang", toks.alias("toks")).filter(F.size("toks") > 0)
+    # canonical order = global document-frequency ASCENDING (rarest first):
+    # the prefix theorem holds for ANY fixed token choice, but rare-token
+    # prefixes make the candidate join selective.
+    tok_df = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
     )
-    b = base.select(
-        F.col("doc_id").alias("b"), F.col("lang"), F.col("toks").alias("toks_b")
+    exploded = base.select("doc_id", "lang", "toks", F.explode("toks").alias("tok")).join(
+        F.broadcast(tok_df), "tok"
     )
-    j = a.join(b, "lang").where(F.col("a") < F.col("b"))
+    ordered = exploded.groupBy("doc_id", "lang").agg(
+        F.first("toks").alias("toks"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
+        ).alias("toks_rare"),
+    )
+    prefix_len = F.floor(F.size("toks") * F.lit(1.0 - 0.8)).cast("int") + F.lit(1)
+    a_pref = ordered.select(
+        F.col("doc_id").alias("a"),
+        "lang",
+        F.col("toks").alias("toks_a"),
+        F.explode(F.slice("toks_rare", 1, prefix_len)).alias("tok"),
+    )
+    b_all = ordered.select(
+        F.col("doc_id").alias("b"),
+        "lang",
+        F.col("toks").alias("toks_b"),
+        F.explode("toks_rare").alias("tok"),
+    )
+    cand = (
+        a_pref.join(b_all, ["lang", "tok"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
     return (
-        j.withColumn("jaccard", F.round(inter / union, 6))
+        cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= 0.8)
         .select("a", "b", "lang", "jaccard")
     )
 
 
 def q_substring_pairs(spark, sf_dir):
+    """Verbatim-containment pairs (shorter side >= 64 chars).
+
+    Spark plan: LOSSLESS prefix-gram inverted index — if na is contained
+    in nb, then na's first 16 chars occur at some offset of nb, so an
+    equi-join of a's prefix-16-gram against ALL 16-grams of b (generated
+    JVM-side with sequence+substring, no UDF) finds every true pair;
+    contains() then verifies. Result set identical to the naive O(n^2)
+    DuckDB oracle cross join."""
     d = _t(spark, sf_dir, "documents")
     base = d.select("doc_id", _norm(F.col("text")).alias("nt"))
-    a = base.select(F.col("doc_id").alias("a"), F.col("nt").alias("na"))
-    b = base.select(F.col("doc_id").alias("b"), F.col("nt").alias("nb"))
+    a = base.filter(F.length("nt") >= 64).select(
+        F.col("doc_id").alias("a"),
+        F.col("nt").alias("na"),
+        F.substring("nt", 1, 16).alias("gram"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("b"),
+        F.col("nt").alias("nb"),
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(nt) - 15, 0)), i -> substring(nt, i, 16))")
+        ).alias("gram"),
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, "gram")
         .where(
             (F.col("a") != F.col("b"))
-            & (F.length("na") >= 64)
             & (F.length("na") < F.length("nb"))
             & F.col("nb").contains(F.col("na"))
         )
         .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
 
 

@@ -36,8 +36,11 @@ from simhash_spark.plans.pipeline import DedupPipeline
 
 cores = {cores}
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores)
-clips = spark.read.parquet({clips_path!r}).repartition(cores * 2, "clip_id")
+                  shuffle_partitions=cores * 2,
+                  extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)}})
+# No repartition of the raw clips: that would shuffle the (pruned-away)
+# audio bytes; 32MB parquet splits give the scan its parallelism.
+clips = spark.read.parquet({clips_path!r})
 ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-")
 t0 = time.time()
 pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=cores * 2))
@@ -70,6 +73,13 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--only",
+        type=int,
+        default=None,
+        help="run just this core count and save a partial result; a later "
+        "invocation merges partials into the final report",
+    )
     args = ap.parse_args()
 
     from simhash_spark.sources.synth import write_clips_parquet
@@ -84,8 +94,26 @@ def main() -> None:
         write_clips_parquet(corpus, args.rows, seed=42, dur_ms_range=(100, 200))
         open(os.path.join(corpus, "_DONE"), "w").close()
 
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    partial_path = os.path.join(REPO, "BENCH", f"scaling-partial-n{args.rows}.json")
+    partials = {}
+    if os.path.exists(partial_path):
+        partials = {int(k): v for k, v in json.load(open(partial_path)).items()}
+
+    if args.only is not None:
+        print(f"running local[{args.only}] ...", file=sys.stderr)
+        partials[args.only] = run_at(args.only, clips_path)
+        with open(partial_path, "w") as f:
+            json.dump(partials, f)
+        print(json.dumps(partials[args.only]))
+        if not {args.low, args.high} <= set(partials):
+            return
+
     results = {}
     for cores in (args.low, args.high):
+        if cores in partials:
+            results[cores] = partials[cores]
+            continue
         print(f"running local[{cores}] ...", file=sys.stderr)
         results[cores] = run_at(cores, clips_path)
         print(f"  {results[cores]}", file=sys.stderr)

@@ -39,6 +39,8 @@ def connected_components(
         .localCheckpoint()
     )
 
+    from pyspark.sql import Observation
+
     for it in range(max_iters):
         # neighbor-min: for each dst, min comp over incoming neighbors.
         nbr_min = (
@@ -47,6 +49,7 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        obs = Observation(f"cc_iter_{it}")
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -56,11 +59,16 @@ def connected_components(
                 ),
                 "comp",
             )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("new_comp") != F.col("comp")).count()
-        labels = new_labels.select("id", F.col("new_comp").alias("comp"))
+            .observe(
+                obs, F.sum((F.col("new_comp") != F.col("comp")).cast("long")).alias("changed")
+            )
+            .select("id", F.col("new_comp").alias("comp"))
+            .localCheckpoint()  # one action per round: checkpoint + observed count
+        )
+        changed = int(obs.get["changed"] or 0)
+        labels = new_labels
         if metrics_sink is not None:
-            metrics_sink("cc_changed", int(changed), iteration=it)
+            metrics_sink("cc_changed", changed, iteration=it)
         if changed == 0:
             break
     else:

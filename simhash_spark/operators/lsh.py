@@ -121,20 +121,34 @@ def candidate_pairs(
     annotated = bands.join(multi, _KEYS, "inner").persist()
 
     if metrics_sink is not None:
-        hm = (
-            annotated.filter(
-                (F.col("grp_n") > band_group_cap) & (F.col("det") != "exact")
+        # one pass over the per-key sizes yields band stats AND hot-band
+        # diagnostics (exact distinct-hash counts — no extra bands scan).
+        is_hot = (F.col("grp_n") > band_group_cap) & (F.col("det") != "exact")
+        stat_rows = counts.groupBy("det").agg(
+            F.sum("grp_n").alias("rows"),
+            F.count("*").alias("distinct_hashes"),
+            F.sum(F.when(is_hot, 1).otherwise(0)).alias("hot_groups"),
+            F.sum(F.when(is_hot, F.col("grp_n")).otherwise(0)).alias("hot_rows"),
+        ).collect()
+        for r in stat_rows:
+            metrics_sink(
+                "band_stats",
+                int(r["rows"]),
+                det=r["det"],
+                distinct_hashes=int(r["distinct_hashes"]),
+                hot_groups=int(r["hot_groups"]),
+                hot_rows_starred=int(r["hot_rows"]),
+                cap=band_group_cap,
             )
-            .groupBy(*_KEYS)
-            .agg(F.first("grp_n").alias("grp_n"))
-            .agg(
-                F.count("*").alias("hot_groups"),
-                F.coalesce(F.sum("grp_n"), F.lit(0)).alias("hot_rows"),
-            )
-            .collect()[0]
+        metrics_sink(
+            "lsh_hot_band_groups",
+            sum(int(r["hot_groups"]) for r in stat_rows),
+            cap=band_group_cap,
         )
-        metrics_sink("lsh_hot_band_groups", int(hm["hot_groups"]), cap=band_group_cap)
-        metrics_sink("lsh_hot_band_rows_starred", int(hm["hot_rows"]))
+        metrics_sink(
+            "lsh_hot_band_rows_starred",
+            sum(int(r["hot_rows"]) for r in stat_rows),
+        )
 
     is_star = (F.col("grp_n") > band_group_cap) | (F.col("det") == "exact")
 

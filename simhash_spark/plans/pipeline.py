@@ -71,21 +71,9 @@ class DedupPipeline:
             bands = build_bands(profile, profile, detectors=cfg.detectors)
             store.write("bands", bands)
         bands = store.read("bands")
-        if cfg.collect_stats and not store.is_committed("candidate_pairs"):
-            for r in (
-                bands.groupBy("det")
-                .agg(
-                    F.count("*").alias("rows"),
-                    F.approx_count_distinct("band_hash").alias("approx_hashes"),
-                )
-                .collect()
-            ):
-                store.append_metric(
-                    "band_stats",
-                    int(r["rows"]),
-                    det=r["det"],
-                    approx_distinct_hashes=int(r["approx_hashes"]),
-                )
+        # per-detector band stats (rows, exact distinct hashes, hot groups)
+        # are emitted by candidate_pairs from its sizing aggregation — no
+        # separate bands scan needed.
 
         if not store.is_committed("candidate_pairs"):
             pairs = candidate_pairs(
