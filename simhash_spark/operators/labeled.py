@@ -74,3 +74,13 @@ def topk_scores(scored: DataFrame, k: int = 10) -> DataFrame:
     """O1+O2: (label, score) sorted by score desc, top k — the serving
     reply shape (reference sorts zip(labels, scores) desc, take 10)."""
     return scored.orderBy(F.desc("score"), F.asc("label")).limit(k)
+
+
+def serving_reply(topk: DataFrame) -> str:
+    """K3: encode the top-k (label, score) rows as one JSON array string —
+    the reference's job-server reply (`workDone_ $ toStrict $ encode ret`,
+    /root/reference/src/SimHash.hs:50)."""
+    row = topk.agg(
+        F.to_json(F.collect_list(F.struct("label", "score"))).alias("reply")
+    ).collect()[0]
+    return row["reply"] or "[]"

@@ -79,3 +79,16 @@ def test_topk_scores(spark):
     assert top[0].score == 6.0
     scores = [r.score for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_serving_reply_json(spark):
+    import json
+
+    from simhash_spark.operators.labeled import serving_reply
+
+    df = spark.createDataFrame(
+        [("cat", 0.9), ("dog", 0.1)], "label string, score double"
+    )
+    reply = serving_reply(topk_scores(df, k=10))
+    parsed = json.loads(reply)
+    assert parsed == [{"label": "cat", "score": 0.9}, {"label": "dog", "score": 0.1}]
