@@ -8,11 +8,14 @@ equivalent for every SQL-expressible one. Column names/aliases are kept
 identical on both sides (the driver hash-compares values under sorted
 column names).
 
-Float determinism policy: aggregates of money-like doubles are cast to
-DECIMAL(18,2) on BOTH sides (exact, engine-independent); similarity
-queries return IDs/ranks chosen by thresholds far from any pair's value,
-never raw floats, except int-ratio floats (jaccard) whose division is
-IEEE-identical in both engines.
+Float determinism policy: aggregates of money-like doubles are returned
+as BIGINT minor units on BOTH sides (cents for 2-dp columns, 1e-4 units
+for 4-dp columns): each row value is scaled + round()ed to an exact
+integer BEFORE summing, so the sums are integer arithmetic and
+hash-identical across engines regardless of DECIMAL canonical form.
+Similarity queries return IDs/ranks chosen by thresholds far from any
+pair's value, never raw floats, except int-ratio floats (jaccard) whose
+division is IEEE-identical in both engines.
 """
 
 from __future__ import annotations
@@ -80,12 +83,11 @@ def q_tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_price_c"),
             F.sum(
-                (F.col("l_extendedprice").cast("decimal(18,2)"))
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-            ).cast("decimal(28,4)").alias("sum_disc_price"),
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000).cast("bigint")
+            ).alias("sum_disc_price_c4"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -112,9 +114,8 @@ def q_customer_revenue(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-            ).cast("decimal(28,4)").alias("revenue"),
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000).cast("bigint")
+            ).alias("revenue_c4"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .filter(F.col("n_orders") >= 3)
@@ -351,7 +352,7 @@ def q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_value_c"),
         )
     )
 
@@ -550,9 +551,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -566,7 +567,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customer_revenue": """
             SELECT c_custkey,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
                    count(DISTINCT o_orderkey) AS n_orders
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
@@ -651,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
             FROM events GROUP BY 1, 2
         """,
         "events_incremental": """
