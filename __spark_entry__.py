@@ -313,34 +313,25 @@ def q_cosine_topk(spark, sf_dir):
         .filter(F.col("vec_id") != 0)
         .withColumn("sim", sim)
     )
+    # TakeOrdered: parallel per-partition partial top-k, NOT a global
+    # single-partition window over every scored row. The row_number
+    # window below runs on the already-reduced 20-row result only.
+    top = scored.select("vec_id", "sim").orderBy(F.desc("sim"), F.asc("vec_id")).limit(20)
     w = W.orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("vec_id", "rnk")
     )
 
 
 def q_cosine_neardup_pairs(spark, sf_dir):
+    """Exact cosine >= 0.45 pairs via blocked GEMM (operators/ann.py):
+    no row-level CartesianProduct — B*(B+1)/2 bounded-memory matmul
+    tiles; identical result set to the naive O(n^2) DuckDB oracle."""
+    from simhash_spark.operators.ann import cosine_pairs_blocked
+
     e = _t(spark, sf_dir, "embeddings")
-    ed = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
-    a = ed.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
-    b = ed.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
-        .withColumn("sim", dot / (nrm(F.col("ea")) * nrm(F.col("eb"))))
-        .filter(F.col("sim") >= 0.45)
-        .select("a", "b")
-    )
+    return cosine_pairs_blocked(e, threshold=0.45, n_blocks=8).select("a", "b")
 
 
 def q_events_hourly(spark, sf_dir):
