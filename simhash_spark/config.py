@@ -96,15 +96,21 @@ class EngineConfig:
     #: Explicit shuffle/partition count for band repartitioning (north_rule
     #: demands explicit partition counts). None -> spark.sql.shuffle.partitions.
     partitions: int | None = None
-    #: Max rows allowed in a single (band_id, band_hash) group before the
-    #: group is salted into ceil(n/cap) sub-groups. Guards O(n^2) hot bands.
+    #: Max ROWS in a single (det, band_id, band_hash) group before the
+    #: group is diverted to linear star edges. Guards O(n^2) hot bands.
     band_group_cap: int = 2000
-    #: Hard cap on candidate pairs emitted per (band, salt) group per probe
-    #: row; drops are logged to _metrics (no silent truncation).
+    #: Max PAIRS (n*(n-1)/2) a single band group may emit before it is
+    #: diverted to star edges — same guard as band_group_cap at pair
+    #: granularity; diverted groups are logged to _metrics (no silent
+    #: truncation). None disables the pair-count cap.
     max_pairs_per_group: int | None = None
     #: Connected-components max iterations (safety guard; the loop stops on
     #: convergence well before this for realistic dup-cluster diameters).
     cc_max_iters: int = 50
+    #: Commit the CC labels table DURABLY every k rounds (executor loss
+    #: cannot lose more than k rounds of label propagation; the loop
+    #: resumes from the committed table).
+    cc_checkpoint_every: int = 5
     #: Arrow batch size for pandas UDFs.
     arrow_batch: int = 10_000
     #: Log per-detector band statistics (row counts + approx distinct

@@ -9,10 +9,21 @@ Iterative DataFrame min-label propagation (the north_star's required
 
 Converges in O(diameter) rounds — duplicate clusters are near-cliques
 (LSH links most members directly), so diameter is small in practice; the
-star edges from hot bands add hub-spoke diameter 2. ``localCheckpoint``
-truncates the plan each round (SURVEY.md §4.2 item 3: without it the
-lineage tree grows exponentially), and the loop is capped at
-``max_iters`` as a safety guard.
+star edges from hot bands add hub-spoke diameter 2.
+
+Fault tolerance at scale (SURVEY.md §4.2 item 3):
+
+- every round the plan is truncated with ``localCheckpoint`` (one action
+  per round, fused with the convergence Observation) — but executor loss
+  loses a localCheckpoint, so when a ``store`` (CheckpointStore) is
+  passed the labels table is ALSO committed durably every
+  ``checkpoint_every`` rounds, and the loop RESUMES from the committed
+  labels on restart (min-label propagation is monotonic + idempotent:
+  restarting from any intermediate label state reaches the same
+  fixpoint).
+- localCheckpoint storage is bounded to ~2 rounds: once round r is
+  materialized, round r-1's blocks are explicitly unpersisted (a
+  long-lived driver must not accumulate O(iterations) cached RDDs).
 """
 
 from __future__ import annotations
@@ -21,23 +32,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(sc) -> set:
+    ids = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_ids(sc, ids: set) -> None:
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    victims = []
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            victims.append(t._2())
+    for v in victims:
+        v.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 50,
     metrics_sink=None,
+    store=None,
+    stage: str = "cc_labels",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """edges(a, b) -> labels(clip_id, cluster_id) for every vertex that
-    appears in an edge. cluster_id = min clip_id of the component."""
+    appears in an edge. cluster_id = min clip_id of the component.
+
+    ``store``: optional CheckpointStore for durable mid-loop checkpoints
+    (every ``checkpoint_every`` rounds) and kill/resume: if ``stage`` is
+    already committed, iteration continues from the stored labels instead
+    of restarting from scratch.
+    """
+    sc = edges.sparkSession.sparkContext
+    ids_at_entry = _persistent_ids(sc)
+
     e = edges.select("a", "b")
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.dropDuplicates(["a", "b"]).localCheckpoint()
+    sym_ids = _persistent_ids(sc) - ids_at_entry
 
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
+    resumed = store is not None and store.is_committed(stage)
+    if resumed:
+        labels = store.read(stage)
+        if metrics_sink is not None:
+            metrics_sink("cc_resume", 1, stage=stage)
+    else:
+        labels = (
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint()
+        )
+    prev_ids = _persistent_ids(sc) - ids_at_entry - sym_ids
+    known = ids_at_entry | sym_ids | prev_ids
 
     from pyspark.sql import Observation
 
@@ -66,13 +117,34 @@ def connected_components(
             .localCheckpoint()  # one action per round: checkpoint + observed count
         )
         changed = int(obs.get["changed"] or 0)
+        # round r is materialized -> free round r-1's localCheckpoint blocks.
+        cur_ids = _persistent_ids(sc)
+        new_ids = cur_ids - known
+        _unpersist_ids(sc, prev_ids)
+        known = (known - prev_ids) | new_ids
+        prev_ids = new_ids
         labels = new_labels
         if metrics_sink is not None:
             metrics_sink("cc_changed", changed, iteration=it)
+        if store is not None and changed > 0 and (it + 1) % checkpoint_every == 0:
+            # durable mid-loop checkpoint: survives executor/driver loss.
+            store.write(stage, labels)
+            labels = store.read(stage)
+            _unpersist_ids(sc, prev_ids)
+            known -= prev_ids
+            prev_ids = set()
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iters} iters")
+
+    if store is not None:
+        # final state durable + plan rebased onto parquet, so every
+        # CC-internal localCheckpoint (incl. sym and the last round) can
+        # be freed immediately.
+        store.write(stage, labels)
+        labels = store.read(stage)
+        _unpersist_ids(sc, (prev_ids | sym_ids))
 
     return labels.select(F.col("id").alias("clip_id"), F.col("comp").alias("cluster_id"))
 

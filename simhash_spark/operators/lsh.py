@@ -38,6 +38,7 @@ from simhash_spark.functions.signatures import (
     simhash_table_key_cols,
     substring_grams_udf,
 )
+from simhash_spark.util import track_persisted
 
 
 def build_bands(
@@ -96,14 +97,26 @@ def candidate_pairs(
     bands: DataFrame,
     band_group_cap: int = 2000,
     partitions: int | None = None,
+    max_pairs_per_group: int | None = None,
     metrics_sink=None,
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
-    ``metrics_sink(name, value, **tags)`` receives hot-band diagnostics.
+    ``partitions`` sets the EXPLICIT hash-partitioning on the band keys
+    (north_rule: explicit partition counts): the sizing aggregation, the
+    annotate join and the self-join all reuse the one Exchange.
+    ``max_pairs_per_group`` caps the pairs a single band group may emit:
+    groups whose n*(n-1)/2 exceeds it are diverted to linear star edges
+    (same mechanism as ``band_group_cap``, expressed in pairs instead of
+    rows); diverted groups/pairs are logged to ``metrics_sink`` — no
+    silent truncation.
     """
     spark = bands.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # EXPLICIT co-partitioning on the band keys: every downstream keyed op
+    # (sizing groupBy, annotate join, pairwise self-join) sees
+    # HashPartitioning(_KEYS, n_part) and reuses this single shuffle.
+    bands = bands.repartition(n_part, *_KEYS)
 
     # One partial-aggregable pass sizes every band group and picks its hub
     # (map-side combine keeps hot keys linear — one row per key per mapper).
@@ -120,10 +133,20 @@ def candidate_pairs(
     # filter) would otherwise re-run the join per branch.
     annotated = bands.join(multi, _KEYS, "inner").persist()
 
+    # a group is diverted to star edges if its ROW count exceeds
+    # band_group_cap or its implied PAIR count n*(n-1)/2 exceeds
+    # max_pairs_per_group (both knobs guard the same O(n^2) blow-up at
+    # different granularity).
+    over_cap = F.col("grp_n") > band_group_cap
+    if max_pairs_per_group is not None:
+        over_cap = over_cap | (
+            F.col("grp_n") * (F.col("grp_n") - 1) / 2 > max_pairs_per_group
+        )
+
     if metrics_sink is not None:
         # one pass over the per-key sizes yields band stats AND hot-band
         # diagnostics (exact distinct-hash counts — no extra bands scan).
-        is_hot = (F.col("grp_n") > band_group_cap) & (F.col("det") != "exact")
+        is_hot = over_cap & (F.col("det") != "exact")
         stat_rows = counts.groupBy("det").agg(
             F.sum("grp_n").alias("rows"),
             F.count("*").alias("distinct_hashes"),
@@ -148,9 +171,11 @@ def candidate_pairs(
         metrics_sink(
             "lsh_hot_band_rows_starred",
             sum(int(r["hot_rows"]) for r in stat_rows),
+            band_group_cap=band_group_cap,
+            max_pairs_per_group=max_pairs_per_group,
         )
 
-    is_star = (F.col("grp_n") > band_group_cap) | (F.col("det") == "exact")
+    is_star = over_cap | (F.col("det") == "exact")
 
     # cold path: full pairwise within group via co-partitioned self-join
     # (group size <= cap bounds the worst group at cap^2/2 pairs).
@@ -213,4 +238,7 @@ def candidate_pairs(
             "starred",
         )
     )
-    return pairs
+    # `annotated` stays cached until the caller materializes `pairs`
+    # (CheckpointStore.write releases it — no executor-storage leak in a
+    # long-lived driver).
+    return track_persisted(pairs, [annotated])

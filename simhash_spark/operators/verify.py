@@ -32,6 +32,7 @@ from simhash_spark.functions.signatures import (
     jaccard_udf,
     substring_contained_udf,
 )
+from simhash_spark.util import track_persisted
 
 _OUT_COLS = ["a", "b", "det", "method", "hamming", "jaccard"]
 
@@ -110,4 +111,7 @@ def verify_pairs(
         "a", "b", "det", F.lit("substring").alias("method"), "hamming", "jaccard"
     )
 
-    return tier01.unionByName(jac_pass).unionByName(sub_pass)
+    out = tier01.unionByName(jac_pass).unionByName(sub_pass)
+    # cand/jac stay cached until the caller materializes the result
+    # (CheckpointStore.write releases them).
+    return track_persisted(out, [cand, jac])

@@ -37,6 +37,7 @@ STAGES = [
     "bands",
     "candidate_pairs",
     "verified_pairs",
+    "cc_labels",
     "clusters",
 ]
 
@@ -59,6 +60,12 @@ class DedupPipeline:
         n_part = cfg.partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
+        # cfg.arrow_batch bounds the rows per Arrow batch entering every
+        # pandas UDF (signature kernels size their numpy buffers off it).
+        self.spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch)
+        )
+        sink = store.append_metric if cfg.collect_stats else None
 
         if not store.is_committed("profile"):
             profile = clips.select(
@@ -80,15 +87,14 @@ class DedupPipeline:
                 bands,
                 band_group_cap=cfg.band_group_cap,
                 partitions=n_part,
-                metrics_sink=store.append_metric,
+                max_pairs_per_group=cfg.max_pairs_per_group,
+                metrics_sink=sink,
             )
             store.write("candidate_pairs", pairs)
         pairs = store.read("candidate_pairs")
 
         if not store.is_committed("verified_pairs"):
-            verified = verify_pairs(
-                pairs, profile, metrics_sink=store.append_metric
-            )
+            verified = verify_pairs(pairs, profile, metrics_sink=sink)
             store.write("verified_pairs", verified)
         verified = store.read("verified_pairs")
 
@@ -96,7 +102,9 @@ class DedupPipeline:
             cc = connected_components(
                 verified,
                 max_iters=cfg.cc_max_iters,
-                metrics_sink=store.append_metric,
+                metrics_sink=sink,
+                store=store,  # durable mid-loop checkpoints + kill/resume
+                checkpoint_every=cfg.cc_checkpoint_every,
             )
             clusters = assign_clusters(clips.select("clip_id"), cc)
             store.write("clusters", clusters)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simhash_spark import config as C
+from simhash_spark.util import release_persisted
 
 
 class IcebergUnavailable(RuntimeError):
@@ -115,7 +116,9 @@ class CheckpointStore:
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> dict:
         """Write ``df`` as the committed content of ``stage`` (idempotent
         overwrite). Returns the manifest. Records per-file (=per written
-        partition) row counts into _lineage.jsonl."""
+        partition) row counts into _lineage.jsonl. Releases any upstream
+        persists recorded via util.track_persisted once the data is on
+        disk (the committed parquet supersedes the cache)."""
         if self.catalog is not None:
             # Iceberg path: atomic snapshot replace; lineage from the
             # snapshot's own manifests.
@@ -124,6 +127,7 @@ class CheckpointStore:
             if partition_by:
                 w = w.partitionedBy(*[df[c] for c in partition_by])
             w.createOrReplace()
+            release_persisted(df)
             manifest = {"stage": stage, "iceberg_table": ident, "semantics": _sem_json()}
             self.append_lineage({"event": "stage_commit", "stage": stage, "table": ident})
             return manifest
@@ -136,6 +140,7 @@ class CheckpointStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
+        release_persisted(df)
         # per-file lineage from parquet FOOTERS (no Spark scan — footer
         # metadata only; on Iceberg this comes free from the snapshot
         # manifest).

@@ -61,6 +61,36 @@ def test_hot_band_cap_stars_and_logs(spark):
     assert logged.get("lsh_hot_band_rows_starred", 0) > 0
 
 
+def test_max_pairs_per_group_stars_and_logs(spark):
+    # 30 near-identical rows share bands of size ~30 -> 435 pairs/group;
+    # a pair cap of 50 must divert those groups to linear star edges.
+    rows = [(f"h{i:03d}", f"shared prefix words number{i}") for i in range(30)]
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+    metrics = []
+    capped = candidate_pairs(
+        bands,
+        band_group_cap=10_000,          # row cap NOT hit
+        max_pairs_per_group=50,         # pair cap IS hit
+        metrics_sink=lambda n, v, **t: metrics.append((n, v)),
+    ).collect()
+    uncapped = candidate_pairs(bands, band_group_cap=10_000).count()
+    assert len(capped) < uncapped
+    assert any(p.starred == 1 for p in capped)
+    logged = dict(metrics)
+    assert logged.get("lsh_hot_band_groups", 0) > 0
+
+
+def test_candidate_pairs_explicit_partitioning(spark):
+    # north_rule: explicit partition counts — the band keys must be
+    # hash-repartitioned to the requested count before the self-join.
+    rows = [(f"p{i:02d}", f"text body {i} with shared shingles") for i in range(12)]
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+    plan = candidate_pairs(bands, partitions=7)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(det" in plan and ", 7)" in plan
+
+
 def test_connected_components_known_graphs(spark):
     edges = spark.createDataFrame(
         [
@@ -92,3 +122,51 @@ def test_cc_converges_on_long_chain(spark):
     )
     labels = connected_components(edges, max_iters=n + 2).collect()
     assert {r.cluster_id for r in labels} == {"v00"}
+
+
+def test_cc_durable_checkpoint_and_resume(spark, tmp_path):
+    """Kill mid-loop (max_iters exhausted) -> the durable labels table is
+    committed; a second call RESUMES from it and converges to the exact
+    fixpoint."""
+    from simhash_spark.sources.tableio import CheckpointStore
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n - 1)], "a string, b string"
+    )
+    store = CheckpointStore(spark, str(tmp_path / "cc"))
+    metrics = []
+    sink = lambda name, v, **t: metrics.append((name, v))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, max_iters=3, store=store, checkpoint_every=1, metrics_sink=sink
+        )
+    assert store.is_committed("cc_labels")  # survived the "crash"
+    partial = {r.id: r.comp for r in store.read("cc_labels").collect()}
+    assert any(v != k for k, v in partial.items())  # progress was saved
+
+    metrics.clear()
+    labels = connected_components(
+        edges, max_iters=n + 2, store=store, checkpoint_every=3, metrics_sink=sink
+    ).collect()
+    assert {r.cluster_id for r in labels} == {"v00"}
+    assert ("cc_resume", 1) in metrics  # continued from the checkpoint
+    # resumed run needs fewer rounds than a fresh one (3 already done)
+    rounds = sum(1 for name, _ in metrics if name == "cc_changed")
+    assert rounds <= n - 3
+
+
+def test_cc_frees_localcheckpoints_when_store_backed(spark, tmp_path):
+    from simhash_spark.operators.cc import _persistent_ids
+    from simhash_spark.sources.tableio import CheckpointStore
+
+    before = _persistent_ids(spark.sparkContext)
+    edges = spark.createDataFrame(
+        [(f"w{i}", f"w{i+1}") for i in range(6)], "a string, b string"
+    )
+    store = CheckpointStore(spark, str(tmp_path / "ccfree"))
+    connected_components(edges, store=store).collect()
+    leaked = _persistent_ids(spark.sparkContext) - before
+    assert leaked == set()
