@@ -180,6 +180,72 @@ class CheckpointStore:
         )
         return manifest
 
+    def append(self, stage: str, df: DataFrame, batch_id: str | None = None) -> dict:
+        """APPEND ``df`` to ``stage`` (Iceberg append-snapshot analog):
+        the new batch lands in its own data dir and the manifest's
+        ``data_dirs`` list grows by one — per-batch IO is O(new rows),
+        never a rewrite of the accumulated table. A ``batch_id`` makes the
+        append IDEMPOTENT: a crash-and-retry with the same batch_id is a
+        no-op, so state can never bloat across retries."""
+        if self.catalog is not None:
+            ident = f"{self.catalog}.{self.namespace}.{stage}"
+            df.writeTo(ident).append()
+            release_persisted(df)
+            self.append_lineage(
+                {"event": "stage_append", "stage": stage, "table": ident, "batch_id": batch_id}
+            )
+            return {"stage": stage, "iceberg_table": ident, "semantics": _sem_json()}
+        m = self.read_manifest(stage)
+        if m is not None and m.get("semantics") != _sem_json():
+            raise RuntimeError(
+                f"stage {stage!r} was committed under different signature semantics; "
+                "refusing to append (delete the checkpoint dir to rebuild)"
+            )
+        dirs = list(_data_dirs(m)) if m else []
+        tokens = list(m.get("batch_tokens", [])) if m else []
+        if batch_id is not None and batch_id in tokens:
+            release_persisted(df)
+            return m  # idempotent retry: this batch is already in the table
+        token = (batch_id or uuid.uuid4().hex)[:32]
+        sdir = self._stage_dir(stage)
+        os.makedirs(sdir, exist_ok=True)
+        data_dir = os.path.join(sdir, f"data-{token}")
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(data_dir)
+        release_persisted(df)
+        files = _parquet_file_rows(data_dir)
+        rows = sum(r["count"] for r in files)
+        manifest = {
+            "stage": stage,
+            "data_dirs": dirs + [data_dir],
+            "batch_tokens": tokens + [token],
+            "rows": (m.get("rows", 0) if m else 0) + rows,
+            "n_files": (m.get("n_files", 0) if m else 0) + len(files),
+            "committed_at": time.time(),
+            "wall_sec": time.time() - t0,
+            "semantics": _sem_json(),
+            "run_config": self.run_config,
+        }
+        tmp = self._manifest_path(stage) + f".tmp-{token[:12]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(stage))  # ATOMIC publish
+        self.append_lineage(
+            {
+                "event": "stage_append",
+                "stage": stage,
+                "batch_id": batch_id,
+                "rows_appended": rows,
+                "files": [
+                    {"file": os.path.basename(r["file"]), "rows": r["count"]} for r in files
+                ],
+                "wall_sec": manifest["wall_sec"],
+            }
+        )
+        return manifest
+
     def read(self, stage: str) -> DataFrame:
         if self.catalog is not None:
             return self.spark.read.table(f"{self.catalog}.{self.namespace}.{stage}")
@@ -191,7 +257,7 @@ class CheckpointStore:
                 f"stage {stage!r} was committed under different signature semantics; "
                 "refusing to resume (delete the checkpoint dir to rebuild)"
             )
-        return self.spark.read.parquet(m["data_dir"])
+        return self.spark.read.parquet(*_data_dirs(m))
 
     def invalidate_from(self, stages: list[str], first_dirty: str) -> None:
         """Drop manifests of ``first_dirty`` and all later stages."""
@@ -212,10 +278,10 @@ class CheckpointStore:
         ]
         for s in stages:
             m = self.read_manifest(s)
-            keep = os.path.basename(m["data_dir"]) if m else None
+            keep = {os.path.basename(d) for d in _data_dirs(m)} if m else set()
             sdir = self._stage_dir(s)
             for name in os.listdir(sdir):
-                if name.startswith("data-") and name != keep:
+                if name.startswith("data-") and name not in keep:
                     shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
 
     # -- lineage & metrics ---------------------------------------------------
@@ -234,6 +300,13 @@ class CheckpointStore:
             return []
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+def _data_dirs(m: dict) -> list[str]:
+    """Data dirs of a manifest — single-dir (write) or multi-dir (append)."""
+    if "data_dirs" in m:
+        return m["data_dirs"]
+    return [m["data_dir"]] if m.get("data_dir") else []
 
 
 def _parquet_file_rows(data_dir: str) -> list[dict]:
