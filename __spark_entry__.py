@@ -203,17 +203,19 @@ def q_quality_score(spark, sf_dir):
 def q_jaccard_neardup_pairs(spark, sf_dir):
     """Token-set near-dup pairs (jaccard >= 0.8 within a language).
 
-    Spark plan: PPJoin-style PREFIX FILTERING — if J(A,B) >= t, then A's
-    first floor((1-t)|A|)+1 tokens (canonical order) must intersect B
-    (proof: otherwise |A-and-B| <= |A| - p < t|A| <= J-implied overlap).
-    Candidates come from an equi-join of A-prefix tokens vs all tokens,
-    then the EXACT jaccard verifies — lossless, so the naive O(n^2)
-    DuckDB oracle validates the result set verbatim."""
+    Spark plan: canonical PPJoin PREFIX FILTERING (Xiao et al., WWW'08) —
+    BOTH sides index only their (|X| - ceil(t|X|) + 1)-prefix under one
+    global token order; if J(A,B) >= t the two prefixes must share a
+    token (lossless), and |t|A|| <= |B| <= |A|/t bounds partner set
+    sizes (length filter). Candidates come from the prefix-vs-prefix
+    equi-join (plain sort-merge + AQE — NO broadcast of the unbounded
+    token dimension), then the EXACT jaccard verifies, so the naive
+    O(n^2) DuckDB oracle validates the result set verbatim."""
     d = _t(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens(_norm(F.col("text"))))
     base = d.select("doc_id", "lang", toks.alias("toks")).filter(F.size("toks") > 0)
     # canonical order = global document-frequency ASCENDING (rarest first):
-    # the prefix theorem holds for ANY fixed token choice, but rare-token
+    # the prefix theorem holds for ANY fixed total order, but rare-token
     # prefixes make the candidate join selective.
     tok_df = (
         base.select(F.explode("toks").alias("tok"))
@@ -221,30 +223,38 @@ def q_jaccard_neardup_pairs(spark, sf_dir):
         .agg(F.count("*").alias("df"))
     )
     exploded = base.select("doc_id", "lang", "toks", F.explode("toks").alias("tok")).join(
-        F.broadcast(tok_df), "tok"
+        tok_df, "tok"
     )
+    prefix_len = F.floor(F.size("toks") * F.lit(1.0 - 0.8)).cast("int") + F.lit(1)
     ordered = exploded.groupBy("doc_id", "lang").agg(
         F.first("toks").alias("toks"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
         ).alias("toks_rare"),
-    )
-    prefix_len = F.floor(F.size("toks") * F.lit(1.0 - 0.8)).cast("int") + F.lit(1)
+    ).withColumn("pref", F.slice("toks_rare", 1, prefix_len))
     a_pref = ordered.select(
         F.col("doc_id").alias("a"),
         "lang",
         F.col("toks").alias("toks_a"),
-        F.explode(F.slice("toks_rare", 1, prefix_len)).alias("tok"),
+        F.explode("pref").alias("tok"),
     )
-    b_all = ordered.select(
+    # index side is prefix-filtered too — index size ~ 0.2x total tokens
+    # instead of every token of every document.
+    b_pref = ordered.select(
         F.col("doc_id").alias("b"),
         "lang",
         F.col("toks").alias("toks_b"),
-        F.explode("toks_rare").alias("tok"),
+        F.explode("pref").alias("tok"),
     )
+    sz_a, sz_b = F.size("toks_a"), F.size("toks_b")
     cand = (
-        a_pref.join(b_all, ["lang", "tok"])
-        .where(F.col("a") < F.col("b"))
+        a_pref.join(b_pref, ["lang", "tok"])
+        .where(
+            (F.col("a") < F.col("b"))
+            # length filter: J>=t forces t|A| <= |B| <= |A|/t
+            & (sz_b.cast("double") >= sz_a.cast("double") * 0.8)
+            & (sz_a.cast("double") >= sz_b.cast("double") * 0.8)
+        )
         .dropDuplicates(["a", "b"])
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
