@@ -491,6 +491,68 @@ def q_token_count_regex(spark, sf_dir):
     )
 
 
+def q_classifier_train_eval(spark, sf_dir):
+    """Learned classification path (reference v2-train analog, E2-E5+L1):
+    distributed local-SGD softmax over pooled SDR features. The task is
+    the architecture's in-distribution one — classify near-dup variants
+    back to their template family (the reference classifies messages by
+    similarity to trained exemplars): deterministic synth corpus, family
+    labels from the generator's truth pairs, first ~70%% of each family
+    trains, the held-out variants test. One row of train/test accuracy
+    per iteration (the reference's per-iter stats shape); sf_dir unused."""
+    from simhash_spark.ml import SimHashClassifier, V2Opts
+    from simhash_spark.sources.synth import make_clips
+
+    clips, truth = make_clips(3000, seed=11)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in truth.itertuples(index=False):
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    fams: dict = {}
+    for cid in clips["clip_id"]:
+        if cid in parent:
+            fams.setdefault(find(cid), []).append(cid)
+    texts = dict(zip(clips["clip_id"], clips["transcript"]))
+    rows_tr, rows_te = [], []
+    line = 0
+    for k in sorted(fams):
+        mem = sorted(fams[k])
+        if len(mem) < 3:
+            continue
+        cut = max(2, int(0.7 * len(mem)))
+        for i, cid in enumerate(mem):
+            (rows_tr if i < cut else rows_te).append((line, k, texts[cid]))
+            line += 1
+    schema = "line_id long, label string, msg string"
+    train = spark.createDataFrame(rows_tr, schema)
+    valid = spark.createDataFrame(rows_te, schema)
+    m = SimHashClassifier(V2Opts())
+    hist = m.fit(spark, train, valid, iters=5)
+    return spark.createDataFrame(
+        [
+            (
+                h["iteration"],
+                h["train_count"],
+                h["test_count"],
+                h["train_accuracy"],
+                h["test_accuracy"],
+            )
+            for h in hist
+        ],
+        "iteration int, train_count long, test_count long, "
+        "train_accuracy double, test_accuracy double",
+    )
+
+
 def q_srp_ann_topk(spark, sf_dir):
     """LSH-bucketed (sign-random-projection) ANN top-k — the scale path
     next to the oracle-checked brute-force cosine_topk."""
@@ -537,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_dup_pairs": q_verified_dup_pairs,
         "audio_features": q_audio_features,
         "srp_ann_topk": q_srp_ann_topk,
+        "classifier_train_eval": q_classifier_train_eval,
     }
 
 

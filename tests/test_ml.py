@@ -1,0 +1,139 @@
+"""Classifier path (E2-E5, L1, S4, K1, K2) + serving loop (EP3, F2, Q3)."""
+
+import json
+import os
+
+from simhash_spark.ml import (
+    SimHashClassifier,
+    V2Opts,
+    load_v2_opts,
+    train_and_valid,
+)
+from simhash_spark.streaming.serving import (
+    JobQueueWorker,
+    handle_payload,
+    split_label_and_msg,
+)
+
+SAMPLE = "/root/reference/sample"
+
+
+# --- S4: YAML opts with defaults-on-failure --------------------------------
+
+def test_opts_parse_reference_sample():
+    o = load_v2_opts(os.path.join(SAMPLE, "sample.opts.yml"))
+    assert (o.column_size, o.size, o.sparsity, o.token_similarity) == (1600, 600, 0.2, True)
+
+
+def test_opts_defaults_on_missing_and_garbage(tmp_path):
+    assert load_v2_opts(str(tmp_path / "nope.yml")) == V2Opts()
+    bad = tmp_path / "bad.yml"
+    bad.write_text("column_size: not_an_int\nencoder\n  ::")
+    assert load_v2_opts(str(bad)) == V2Opts()
+
+
+def test_opts_partial_file_keeps_other_defaults(tmp_path):
+    p = tmp_path / "part.yml"
+    p.write_text("encoder:\n  sparsity: 0.1\n")
+    o = load_v2_opts(str(p))
+    assert o.sparsity == 0.1 and o.column_size == 1600 and o.size == 600
+
+
+# --- train / valid on the reference's own sample ----------------------------
+
+def test_train_and_valid_reference_sample(spark, tmp_path):
+    model_file = str(tmp_path / "model.bin")
+    m = train_and_valid(
+        spark,
+        os.path.join(SAMPLE, "train_data.txt"),
+        os.path.join(SAMPLE, "valid_data.txt"),
+        model_file,
+        iters=30,
+    )
+    stats = json.load(open(model_file + ".stats.json"))
+    assert stats["train_count"] == 6 and stats["test_count"] == 6
+    # reference scores 66.66% on its own sample; we must match or beat it.
+    assert stats["test_accuracy"] >= 0.6666
+    assert stats["train_accuracy"] >= 0.8
+    # K1 atomic save -> reload -> identical inference
+    m2 = SimHashClassifier.load(model_file)
+    assert m2.labels == m.labels
+    assert m2.infer_one("some data 3") == m.infer_one("some data 3")
+
+
+def test_transform_matches_numpy_kernel(spark):
+    m = SimHashClassifier()
+    m.learn_one("spam", "buy cheap pills now")
+    m.learn_one("ham", "meeting notes for tuesday")
+    for _ in range(5):
+        m.learn_one("spam", "cheap pills discount")
+        m.learn_one("ham", "project meeting agenda")
+    df = spark.createDataFrame(
+        [("a", "cheap pills"), ("b", "tuesday meeting")], "id string, msg string"
+    )
+    got = {r.id: r.pred for r in m.transform(df).collect()}
+    assert got["a"] == m.infer_one("cheap pills")[0][0] == "spam"
+    assert got["b"] == m.infer_one("tuesday meeting")[0][0] == "ham"
+
+
+# --- F2 payload routing ------------------------------------------------------
+
+def test_split_label_and_msg():
+    assert split_label_and_msg("label1, some text, with comma") == (
+        "label1",
+        "some text, with comma",
+    )
+    assert split_label_and_msg("nocomma") == ("nocomma", "")
+
+
+def test_payload_routing_modes():
+    m = SimHashClassifier()
+    # "1" = learn only, no reply
+    reply, learned = handle_payload(m, "1label1, first sample text")
+    assert reply is None and learned and m.labels == ["label1"]
+    # "0" = infer only, JSON reply, no learn
+    reply, learned = handle_payload(m, "0first sample text")
+    assert not learned
+    top = json.loads(reply)
+    assert top[0][0] == "label1"
+    # else = infer (PRE-learn model) then learn
+    reply, learned = handle_payload(m, "2label2, completely different words")
+    assert learned and "label2" in m.labels
+    pre = json.loads(reply)
+    assert all(lbl == "label1" for lbl, _ in pre)  # reply predates the learn
+
+
+# --- EP3 worker + Q3 debounced save -----------------------------------------
+
+def test_job_queue_worker_replies_and_debounced_save(tmp_path):
+    m = SimHashClassifier()
+    for _ in range(5):
+        m.learn_one("yes", "affirmative words indeed")
+        m.learn_one("no", "negative denial words")
+    now = [0.0]
+    w = JobQueueWorker(
+        m,
+        str(tmp_path / "jobs"),
+        model_path=str(tmp_path / "model.bin"),
+        save_delay_sec=60.0,
+        clock=lambda: now[0],
+    )
+    jd = tmp_path / "jobs"
+    (jd / "001.job").write_text("0affirmative words")
+    (jd / "002.job").write_text("1yes, more affirmative content")
+    assert w.run_once() == 2
+    assert not (jd / "001.job").exists() and not (jd / "002.job").exists()
+    reply = json.loads((jd / "001.reply.json").read_text())
+    assert reply[0][0] == "yes"
+    assert not (jd / "002.reply.json").exists()  # learn-only: no reply
+    # debounce: not saved yet; saved once 60s pass with no further learn
+    assert not (tmp_path / "model.bin").exists()
+    now[0] = 30.0
+    (jd / "003.job").write_text("1no, extra denial text")  # re-arms timer
+    w.run_once()
+    now[0] = 80.0  # 50s after last learn < 60 -> still unsaved
+    assert not w.maybe_save()
+    now[0] = 91.0
+    assert w.maybe_save()
+    assert (tmp_path / "model.bin").exists()
+    assert not w.maybe_save()  # saved once, timer cleared
