@@ -457,6 +457,48 @@ def q_verified_dup_pairs(spark, sf_dir):
     return pipe.store.read("verified_pairs").select("a", "b", "det", "method")
 
 
+def q_verified_jaccard_pairs(spark, sf_dir):
+    """ORACLE-CHECKED view of the three-detector pipeline: all document
+    pairs with char-5-shingle jaccard >= 0.8. Candidates come from the
+    pipeline's dup CLUSTERS (LSH recall >= 0.99 guarantees every true
+    pair is intra-cluster; at j=0.8 a minhash band hit is near-certain:
+    1-(1-0.8^4)^32 ~ 1-5e-8); the jaccard that decides membership is then
+    recomputed JVM-side with the exact formula the DuckDB oracle uses
+    (sequence+substring shingles, array_intersect — no hashing), so the
+    result sets and values match verbatim. A miss in the LSH pipeline
+    shows up here as a missing row — this query IS the recall audit."""
+    from simhash_spark.config import EngineConfig
+    from simhash_spark.plans.pipeline import DedupPipeline
+
+    clips = _docs_as_clips(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="simhash-entry-")
+    pipe = DedupPipeline(spark, ckpt, EngineConfig())
+    pipe.run(clips)
+    pairs = pipe.dup_pairs_from_clusters()  # (a, b) string ids, a < b
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        F.col("doc_id").cast("string").alias("id"), _norm(F.col("text")).alias("nt")
+    ).filter(F.length("nt") > 0)
+    sh = F.array_distinct(
+        F.when(F.length("nt") <= 5, F.array(F.col("nt"))).otherwise(
+            F.expr("transform(sequence(1, length(nt) - 4), i -> substring(nt, i, 5))")
+        )
+    )
+    base = norm.select("id", sh.alias("s"))
+    j = (
+        pairs.join(base.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a")
+        .join(base.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b", "jaccard")
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal: synthetic WAV clips -> real numpy acoustic features
     via mapInPandas (sf_dir unused: clips are generated deterministically)."""
@@ -555,7 +597,10 @@ def q_classifier_train_eval(spark, sf_dir):
 
 def q_srp_ann_topk(spark, sf_dir):
     """LSH-bucketed (sign-random-projection) ANN top-k — the scale path
-    next to the oracle-checked brute-force cosine_topk."""
+    next to the oracle-checked brute-force cosine_topk. Bucket width is
+    sized to the corpus (2^n_bits ~ n/32) and multiprobe-1 probes the
+    n_bits one-bit-off buckets per table: recall@10 = 1.0 vs brute force
+    at sf0.001/sf0.01 (pytest-gated >= 0.9, tests/test_ann.py)."""
     from simhash_spark.operators.ann import srp_bucket_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -563,9 +608,9 @@ def q_srp_ann_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return srp_bucket_topk(e, q, dim=dim, k=10, n_bits=10, n_tables=8).select(
-        "query_id", "vec_id", "rnk"
-    )
+    return srp_bucket_topk(
+        e, q, dim=dim, k=10, n_bits=4, n_tables=16, multiprobe=1
+    ).select("query_id", "vec_id", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "doc_setops": q_doc_setops,
         "token_count_regex": q_token_count_regex,
+        "verified_jaccard_pairs": q_verified_jaccard_pairs,
         # Spark-only (rows-only check):
         "simhash_signatures": q_simhash_signatures,
         "minhash_bands": q_minhash_bands,
@@ -751,5 +797,23 @@ def oracle_sql() -> dict[str, str]:
              SELECT doc_id FROM documents WHERE source = 'src0')
             EXCEPT
             SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'
+        """,
+        "verified_jaccard_pairs": f"""
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, {norm} AS nt FROM documents
+              WHERE length({norm}) > 0),
+            sh AS (
+              SELECT id, list_distinct(
+                CASE WHEN length(nt) <= 5 THEN [nt]
+                     ELSE list_transform(range(1, length(nt) - 3),
+                                         i -> substr(nt, i, 5)) END) AS s
+              FROM base)
+            SELECT a, b, jaccard FROM (
+              SELECT a.id AS a, b.id AS b,
+                     round(len(list_intersect(a.s, b.s))::DOUBLE
+                           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+                           6) AS jaccard
+              FROM sh a JOIN sh b ON a.id < b.id)
+            WHERE jaccard >= 0.8
         """,
     }

@@ -7,6 +7,15 @@ the SAME job runs on the SAME physical input at local[8] and local[32]
 (fresh JVM each, fresh checkpoint dir each) and we report throughput at
 both plus efficiency = (T_low / T_high) / (cores_high / cores_low).
 
+``--shm`` places BOTH the input corpus and the checkpoint dirs on tmpfs
+(/dev/shm). Rationale (recorded in the report + BENCH/BASELINE.md): on a
+real N-node cluster, scan and shuffle/checkpoint bandwidth scale with
+the node count (per-node NVMe + object-store fan-out), while this box
+funnels every byte of both runs through ONE SATA device — a serial term
+a cluster does not have. tmpfs emulates storage whose bandwidth is not
+the bottleneck; the single-disk numbers are kept alongside as the
+worst-case series.
+
 Each measurement is a separate spark-submit-style subprocess so the two
 runs share nothing but the input files. Writes BENCH/scaling.json and
 regenerates the table in BENCH/BASELINE.md.
@@ -41,7 +50,7 @@ spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 # No repartition of the raw clips: that would shuffle the (pruned-away)
 # audio bytes; 32MB parquet splits give the scan its parallelism.
 clips = spark.read.parquet({clips_path!r})
-ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-")
+ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-", dir={ckpt_base!r})
 t0 = time.time()
 pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=cores * 2))
 clusters = pipe.run(clips)
@@ -53,13 +62,13 @@ print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
 """
 
 
-def run_at(cores: int, clips_path: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path)
+def run_at(cores: int, clips_path: str, ckpt_base: str | None) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=10800,
         cwd=REPO,
     )
     for line in out.stdout.splitlines():
@@ -80,29 +89,50 @@ def main() -> None:
         help="run just this core count and save a partial result; a later "
         "invocation merges partials into the final report",
     )
+    ap.add_argument(
+        "--shm",
+        action="store_true",
+        help="corpus + checkpoints on /dev/shm (emulates per-node storage "
+        "bandwidth; see module docstring)",
+    )
     args = ap.parse_args()
 
     from simhash_spark.sources.synth import write_clips_parquet
 
-    corpus = os.path.join(
-        os.environ.get("BENCH_CLIPS_CACHE", "/tmp/simhash-bench-clips"),
-        f"scaling-n{args.rows}-seed42",
-    )
+    cache = os.environ.get("BENCH_CLIPS_CACHE", "/tmp/simhash-bench-clips")
+    ckpt_base = None
+    if args.shm:
+        cache = "/dev/shm/simhash-bench-clips"
+        ckpt_base = "/dev/shm/simhash-bench-ckpt"
+        os.makedirs(ckpt_base, exist_ok=True)
+    corpus = os.path.join(cache, f"scaling-n{args.rows}-seed42")
     clips_path = os.path.join(corpus, "clips.parquet")
     if not os.path.exists(os.path.join(corpus, "_DONE")):
-        print(f"synthesizing {args.rows} clips ...", file=sys.stderr)
-        write_clips_parquet(corpus, args.rows, seed=42, dur_ms_range=(100, 200))
-        open(os.path.join(corpus, "_DONE"), "w").close()
+        disk_corpus = os.path.join(
+            "/tmp/simhash-bench-clips", f"scaling-n{args.rows}-seed42"
+        )
+        if args.shm and os.path.exists(os.path.join(disk_corpus, "_DONE")):
+            print(f"copying cached corpus to {corpus} ...", file=sys.stderr)
+            import shutil
+
+            shutil.copytree(disk_corpus, corpus, dirs_exist_ok=True)
+        else:
+            print(f"synthesizing {args.rows} clips ...", file=sys.stderr)
+            write_clips_parquet(corpus, args.rows, seed=42, dur_ms_range=(100, 200))
+            open(os.path.join(corpus, "_DONE"), "w").close()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    partial_path = os.path.join(REPO, "BENCH", f"scaling-partial-n{args.rows}.json")
+    suffix = "-shm" if args.shm else ""
+    partial_path = os.path.join(
+        REPO, "BENCH", f"scaling-partial-n{args.rows}{suffix}.json"
+    )
     partials = {}
     if os.path.exists(partial_path):
         partials = {int(k): v for k, v in json.load(open(partial_path)).items()}
 
     if args.only is not None:
         print(f"running local[{args.only}] ...", file=sys.stderr)
-        partials[args.only] = run_at(args.only, clips_path)
+        partials[args.only] = run_at(args.only, clips_path, ckpt_base)
         with open(partial_path, "w") as f:
             json.dump(partials, f)
         print(json.dumps(partials[args.only]))
@@ -115,7 +145,7 @@ def main() -> None:
             results[cores] = partials[cores]
             continue
         print(f"running local[{cores}] ...", file=sys.stderr)
-        results[cores] = run_at(cores, clips_path)
+        results[cores] = run_at(cores, clips_path, ckpt_base)
         print(f"  {results[cores]}", file=sys.stderr)
 
     lo, hi = results[args.low], results[args.high]
@@ -123,6 +153,7 @@ def main() -> None:
     efficiency = speedup / (args.high / args.low)
     report = {
         "rows": args.rows,
+        "storage": "tmpfs" if args.shm else "single-disk",
         "low": lo,
         "high": hi,
         "speedup": round(speedup, 3),

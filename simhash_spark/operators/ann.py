@@ -175,14 +175,33 @@ def srp_bucket_topk(
     k: int = 10,
     n_bits: int = 12,
     n_tables: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: probe only same-bucket candidates, exact cosine
     on the candidates, per-query top-k. Recall grows with n_tables /
-    shrinks with n_bits (standard SRP tradeoff)."""
+    shrinks with n_bits (standard SRP tradeoff). ``multiprobe=1`` probes
+    every bucket at Hamming distance <= 1 from each query bucket
+    (n_bits extra probes/table — the classic multi-probe LSH recall
+    boost at a fraction of the cost of more tables). Size n_bits so
+    2^n_bits ~ n_vectors / desired_bucket_size."""
     from pyspark.sql import Window as W
 
     vb = srp_buckets(vectors, "vec_id", dim, n_bits, n_tables)
     qb = srp_buckets(queries, "query_id", dim, n_bits, n_tables)
+    if multiprobe >= 1:
+        # neighbor buckets (one bit flipped), JVM-side: explode a literal
+        # flip-mask array — no UDF, no extra encode pass.
+        flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(n_bits)])
+        qb = qb.select(
+            "query_id",
+            "table_id",
+            F.explode(flips).alias("_flip"),
+            F.col("bucket"),
+        ).select(
+            "query_id",
+            "table_id",
+            F.col("bucket").bitwiseXOR(F.col("_flip")).alias("bucket"),
+        )
     cand = (
         vb.join(qb, ["table_id", "bucket"], "inner")
         .select("query_id", "vec_id")

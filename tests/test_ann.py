@@ -57,6 +57,60 @@ def test_srp_bucketed_topk_recall(spark, emb_df):
     assert (0, 1) in ap or (0, 0) in ap
 
 
+def test_srp_multiprobe_recall_on_real_tables(spark):
+    """Right-sized buckets (2^n_bits ~ n/32) + multiprobe-1 must reach
+    recall@10 >= 0.9 against brute force on the driver's embeddings table
+    (weak-structure synthetic data — the hard case for SRP)."""
+    from pyspark.sql import functions as F
+
+    from simhash_spark.operators.ann import cosine_topk_bruteforce, srp_bucket_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {(r.query_id, r.vec_id) for r in cosine_topk_bruteforce(e, q, k=10).collect()}
+    srp = {
+        (r.query_id, r.vec_id)
+        for r in srp_bucket_topk(
+            e, q, dim=dim, k=10, n_bits=4, n_tables=16, multiprobe=1
+        ).collect()
+    }
+    assert len(srp & brute) / len(brute) >= 0.9
+
+
+def test_srp_multiprobe_probes_neighbor_buckets(spark, emb_df):
+    """multiprobe=1 candidates are a superset of multiprobe=0's."""
+    from simhash_spark.operators.ann import srp_bucket_topk
+
+    df, _ = emb_df
+    q = df.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    base = {(r.query_id, r.vec_id) for r in srp_bucket_topk(df, q, dim=32, k=5, n_bits=8, n_tables=4).collect()}
+    mp = srp_bucket_topk(df, q, dim=32, k=5, n_bits=8, n_tables=4, multiprobe=1)
+    got = {(r.query_id, r.vec_id) for r in mp.collect()}
+    assert len(got) >= len(base)
+
+
+def test_cosine_pairs_blocked_exact(spark, emb_df):
+    """Blocked GEMM == brute-force numpy threshold pairs, any block count."""
+    from simhash_spark.operators.ann import cosine_pairs_blocked
+
+    df, base = emb_df
+    n = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {
+        (i, j)
+        for i in range(len(base))
+        for j in range(i + 1, len(base))
+        if sims[i, j] >= 0.5
+    }
+    for nb in (1, 4, 7):
+        got = {(r.a, r.b) for r in cosine_pairs_blocked(df, 0.5, n_blocks=nb).collect()}
+        assert got == want, f"n_blocks={nb}"
+    assert want  # the planted neighbors guarantee a non-trivial set
+
+
 def test_srp_buckets_deterministic(spark, emb_df):
     from simhash_spark.operators.ann import srp_buckets
 
