@@ -37,6 +37,8 @@ HEADLINE = [
     "jaccard_neardup_pairs",
     "substring_pairs",
     "cosine_topk",
+    "cosine_neardup_pairs",
+    "srp_ann_topk",
     "doc_dup_clusters",
 ]
 

@@ -32,6 +32,18 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="spark master (default: env/local)")
     ap.add_argument("--partitions", type=int, default=None, help="explicit shuffle/band partitions")
     ap.add_argument("--band-cap", type=int, default=2000, help="max rows per LSH band group")
+    ap.add_argument(
+        "--max-pairs-per-group",
+        type=int,
+        default=None,
+        help="max implied pairs per band group before star-edge diversion",
+    )
+    ap.add_argument(
+        "--cc-checkpoint-every",
+        type=int,
+        default=5,
+        help="durable CC labels commit every k rounds",
+    )
     ap.add_argument("--detectors", default="simhash,minhash,substring")
     ap.add_argument("--vacuum", action="store_true", help="expire old stage snapshots at the end")
     args = ap.parse_args()
@@ -48,11 +60,15 @@ def main() -> None:
     cfg = EngineConfig(
         partitions=args.partitions,
         band_group_cap=args.band_cap,
+        max_pairs_per_group=args.max_pairs_per_group,
+        cc_checkpoint_every=args.cc_checkpoint_every,
         detectors=tuple(args.detectors.split(",")),
     )
+    # NO repartition of the raw clips table: that would shuffle the audio
+    # bytes the pipeline never reads (they're column-pruned by the first
+    # projection). Scan parallelism comes from parquet splits; the band
+    # table is explicitly repartitioned downstream (candidate_pairs).
     clips = spark.read.parquet(args.clips)
-    if args.partitions:
-        clips = clips.repartition(args.partitions, "clip_id")
 
     t0 = time.time()
     pipe = DedupPipeline(spark, args.checkpoint, cfg)
