@@ -119,16 +119,21 @@ def _simhash_from_hashed(
     nonempty = row_starts[:-1] < row_starts[1:]
     if not nonempty.any():
         return out
-    idx = row_starts[:-1].clip(max=len(flat_hashes) - 1)
+    # reduceat boundaries from NONEMPTY rows only: every index is then
+    # strictly increasing and < len(flat), so no segment is truncated.
+    # (Clipping all starts to len-1 silently dropped the LAST feature of
+    # the final nonempty row whenever empty rows trailed the batch —
+    # found by hypothesis, tests/test_properties.py.)
+    ne_idx = row_starts[:-1][nonempty]
     w = flat_weights.astype(np.int64)
-    totw = np.add.reduceat(w, idx)
-    packed = np.zeros(n_rows, dtype=np.uint64)
+    totw = np.add.reduceat(w, ne_idx)
+    packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
     for bit in range(C.SIG_BITS):
         wb = w * ((flat_hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-        s1 = np.add.reduceat(wb, idx)
+        s1 = np.add.reduceat(wb, ne_idx)
         bitval = (2 * s1 - totw) > 0  # sign threshold; ties -> 0
         packed |= bitval.astype(np.uint64) << np.uint64(bit)
-    out[nonempty] = packed.astype(np.int64)[nonempty]
+    out[nonempty] = packed.astype(np.int64)
     return out
 
 
@@ -281,8 +286,13 @@ def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
         np.multiply(xc[:, None], _PERM_A[None, :], out=hx)
         hx += _PERM_B[None, :]
         hx %= _P31  # numpy scalar-mod is the fastest exact reduction here
-        idx = (starts[r0:r1] - s0).clip(max=len(xc) - 1)
-        mins[r0:r1] = np.minimum.reduceat(hx, idx, axis=0)
+        # segment boundaries from the chunk's NONEMPTY rows only — an
+        # empty row at the chunk end would otherwise clip the previous
+        # row's segment and drop its last shingle (same reduceat-clipping
+        # bug as _simhash_from_hashed; hypothesis-found).
+        rows_ne = np.nonzero(nonempty[r0:r1])[0]
+        idx = starts[r0:r1][rows_ne] - s0
+        mins[r0 + rows_ne] = np.minimum.reduceat(hx, idx, axis=0)
         r0 = r1
     out[nonempty] = mins[nonempty].astype(np.int64)
     return out
