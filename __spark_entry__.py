@@ -520,6 +520,29 @@ def q_audio_features(spark, sf_dir):
 
 
 
+def q_audio_dup_pairs(spark, sf_dir):
+    """Audio-PAYLOAD dedup (Haitsma-Kalker perceptual fingerprint,
+    functions/audio.py): finds re-gained + re-noised copies whose BYTES
+    differ (exact hashing misses them). Deterministic synth corpus with
+    3 planted perturbed copies; sf_dir unused (audio lives off-table)."""
+    import numpy as np
+
+    from simhash_spark.functions.audio import audio_dup_pairs
+    from simhash_spark.sources.synth import decode_wav, make_clips, wav_bytes
+
+    rng = np.random.default_rng(4)
+    clips_pd, _ = make_clips(60, seed=4, dur_ms_range=(700, 1500))
+    rows = [
+        (cid, bytes(raw)) for cid, raw in zip(clips_pd["clip_id"], clips_pd["bytes"])
+    ]
+    for i in range(3):
+        sr, s = decode_wav(rows[i][1])
+        pert = (s * 0.82 + rng.normal(0, 60, len(s))).clip(-32768, 32767)
+        rows.append((f"pert-{i}", wav_bytes(pert.astype(np.int16), sr)))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    return audio_dup_pairs(df).select("a", "b", "ber")
+
+
 def q_token_count_regex(spark, sf_dir):
     """BPE-ish regex token counting: word runs and single punctuation
     marks counted separately (both engines use the same RE2/Java-safe
@@ -644,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
         "audio_features": q_audio_features,
+        "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "classifier_train_eval": q_classifier_train_eval,
     }

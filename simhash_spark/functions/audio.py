@@ -107,6 +107,134 @@ def audio_features(df, n_frames: int = 16):
     return df.select("clip_id", "bytes").mapInPandas(op, schema=_FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual audio fingerprint (Haitsma & Kalker, "A Highly Robust Audio
+# Fingerprinting System", ISMIR 2002 — public). Extends the engine's dedup
+# to the AUDIO payload itself: exact byte hashing misses re-gained /
+# re-noised copies; this does not.
+# ---------------------------------------------------------------------------
+
+_FP_NFFT = 1024
+_FP_HOP = 512
+_FP_BANDS = 17  # 17 log-spaced energy bands -> 16 sign bits per frame
+_FP_FMIN = 300.0
+_FP_FMAX = 3000.0
+
+
+def audio_fingerprint_kernel(sr: int, samples: np.ndarray) -> np.ndarray:
+    """PCM -> per-frame 16-bit fingerprints (uint32 array).
+
+    Hann-windowed STFT -> 17 log-spaced band energies (300-3000 Hz) ->
+    bit(b,t) = sign of the time-delta of the band-delta (the HK
+    energy-difference sign): GAIN-INVARIANT by construction (a global
+    scale multiplies every energy, leaving the signs untouched) and
+    robust to small additive noise."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) < _FP_NFFT + _FP_HOP:
+        x = np.pad(x, (0, _FP_NFFT + _FP_HOP - len(x)))
+    n_frames = 1 + (len(x) - _FP_NFFT) // _FP_HOP
+    idx = np.arange(_FP_NFFT)[None, :] + _FP_HOP * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(_FP_NFFT)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(_FP_NFFT, 1.0 / sr)
+    edges = np.geomspace(_FP_FMIN, min(_FP_FMAX, sr / 2.0 - 1.0), _FP_BANDS + 1)
+    band_of = np.searchsorted(edges, freqs, side="right") - 1  # -1..BANDS
+    E = np.zeros((n_frames, _FP_BANDS))
+    valid = (band_of >= 0) & (band_of < _FP_BANDS)
+    np.add.at(E.T, band_of[valid], spec[:, valid].T)
+    d = E[:, :-1] - E[:, 1:]  # band deltas (T, 16)
+    dd = d[1:] - d[:-1]  # time delta of band deltas (T-1, 16)
+    bits = (dd > 0).astype(np.uint32)
+    return (bits << np.arange(16, dtype=np.uint32)[None, :]).sum(axis=1, dtype=np.uint32)
+
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("fps", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def audio_fingerprints(df):
+    """clips(clip_id, bytes) -> (clip_id, fps array<long>) via mapInPandas
+    (bytes never leave the executor; rows that fail to decode get [])."""
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, s = decode_wav(bytes(raw))
+                    rows.append((cid, audio_fingerprint_kernel(sr, s).astype(np.int64).tolist()))
+                except Exception:
+                    rows.append((cid, []))
+            yield pd.DataFrame(rows, columns=["clip_id", "fps"])
+
+    return df.select("clip_id", "bytes").mapInPandas(op, schema=_FP_SCHEMA)
+
+
+def audio_dup_pairs(
+    clips,
+    ber_max: float = 0.25,
+    key_group_cap: int = 2000,
+    min_shared_keys: int = 2,
+):
+    """Audio-content near-dup pairs: (a, b, ber) with a < b.
+
+    Same candidate->verify shape as the text detectors:
+      candidates — equi self-join on per-frame 16-bit sub-fingerprints
+        (HK's lookup unit; a true copy shares MANY frames verbatim even
+        when noise flips bits in most frames), gated on
+        ``min_shared_keys`` distinct shared sub-fingerprints (the
+        mh_hits>=2 idiom) so random 16-bit collisions never reach
+        verify; groups over ``key_group_cap`` dropped (hot-band guard).
+        At corpus scale the key should be composited with a coarse
+        duration bucket to keep group sizes sub-linear.
+      verify — bit error rate over the aligned fingerprint sequences,
+        computed ENTIRELY in the JVM (zip_with + xor + bit_count):
+        HK's match rule, BER < ``ber_max``.
+    """
+    fps = audio_fingerprints(clips).filter(F.size("fps") >= 2).persist()
+    keys = fps.select(
+        "clip_id", F.explode("fps").alias("key")
+    ).dropDuplicates(["clip_id", "key"])
+    sizes = keys.groupBy("key").agg(F.count("*").alias("grp_n"))
+    cold = keys.join(sizes.filter(F.col("grp_n").between(2, key_group_cap)), "key")
+    a = cold.select(F.col("key"), F.col("clip_id").alias("a"))
+    b = cold.select(F.col("key"), F.col("clip_id").alias("b"))
+    cand = (
+        a.join(b, "key")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_keys"))
+        .filter(F.col("shared_keys") >= min_shared_keys)
+        .select("a", "b")
+    )
+    fa = fps.select(F.col("clip_id").alias("a"), F.col("fps").alias("fps_a"))
+    fb = fps.select(F.col("clip_id").alias("b"), F.col("fps").alias("fps_b"))
+    n_cmp = F.least(F.size("fps_a"), F.size("fps_b"))
+    bad_bits = F.aggregate(
+        F.zip_with(
+            F.slice("fps_a", 1, n_cmp),
+            F.slice("fps_b", 1, n_cmp),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("ber", bad_bits.cast("double") / (n_cmp * 16).cast("double"))
+        .filter(F.col("ber") < ber_max)
+        .select("a", "b", F.round("ber", 6).alias("ber"))
+    )
+    from simhash_spark.util import track_persisted
+
+    return track_persisted(out, [fps])
+
+
 def transcode(df, target_codec: str):
     """STUB — codec transcode needs ffmpeg/soundfile (not in container).
     The Spark plumbing (mapInPandas over binary, schema preserved) is the

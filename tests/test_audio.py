@@ -62,3 +62,55 @@ def test_transcode_stub_gated(spark):
     assert stub.schema == df.schema  # Spark plumbing is real
     with pytest.raises(Exception, match="NotImplementedError|codec library"):
         stub.collect()  # the kernel is honestly absent
+
+
+def test_audio_fingerprint_gain_invariant_noise_robust():
+    import numpy as np
+
+    from simhash_spark.functions.audio import audio_fingerprint_kernel
+    from simhash_spark.sources.synth import decode_wav, wav_bytes
+
+    rng = np.random.default_rng(9)
+    clips_pd, _ = make_clips(3, seed=9, dur_ms_range=(800, 1200))
+    sr, s = decode_wav(bytes(clips_pd["bytes"][0]))
+    fp = audio_fingerprint_kernel(sr, s)
+    assert len(fp) > 10 and fp.dtype == np.uint32
+
+    # exact gain invariance: scaling PCM leaves every bit unchanged
+    sr2, s_half = decode_wav(wav_bytes((s * 0.5).astype(np.int16), sr))
+    assert (audio_fingerprint_kernel(sr2, s_half) == fp).all()
+
+    # small additive noise flips few bits (BER << match threshold)
+    noisy = (s + rng.normal(0, 80, len(s))).clip(-32768, 32767).astype(np.int16)
+    fp_n = audio_fingerprint_kernel(sr, noisy)
+    ber = sum(int(v).bit_count() for v in (fp ^ fp_n)) / (len(fp) * 16)
+    assert ber < 0.1
+
+
+def test_audio_dup_pairs_finds_perturbed_copies(spark):
+    import numpy as np
+
+    from simhash_spark.functions.audio import audio_dup_pairs
+    from simhash_spark.sources.synth import decode_wav, wav_bytes
+
+    rng = np.random.default_rng(4)
+    clips_pd, _ = make_clips(24, seed=4, dur_ms_range=(700, 1500))
+    rows = [
+        (cid, bytes(raw))
+        for cid, raw in zip(clips_pd["clip_id"][:12], clips_pd["bytes"][:12])
+    ]
+    # perturbed copies of the first three: re-gained + noised -> bytes
+    # differ (exact hash misses them), audio content is the same
+    planted = set()
+    for i in range(3):
+        sr, s = decode_wav(rows[i][1])
+        pert = (s * 0.82 + rng.normal(0, 60, len(s))).clip(-32768, 32767)
+        rows.append((f"pert-{i}", wav_bytes(pert.astype(np.int16), sr)))
+        planted.add((rows[i][0], f"pert-{i}"))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {(r.a, r.b) for r in audio_dup_pairs(df).collect()}
+    got_norm = {tuple(sorted(p)) for p in got}
+    assert {tuple(sorted(p)) for p in planted} <= got_norm
+    # no cross-pair between unrelated originals
+    originals = {tuple(sorted((x, y))) for x in clips_pd["clip_id"][:12] for y in clips_pd["clip_id"][:12] if x < y}
+    assert not (got_norm & originals)
