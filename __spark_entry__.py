@@ -399,6 +399,24 @@ def q_doc_setops(spark, sf_dir):
 # Spark-only queries (no SQL oracle -> driver does rows-only check)
 # ---------------------------------------------------------------------------
 
+_PIPE_CKPTS: dict[str, str] = {}
+
+
+def _shared_pipeline(spark, sf_dir):
+    """One checkpointed pipeline per (process, sf_dir): the three
+    pipeline-backed queries (doc_dup_clusters, verified_dup_pairs,
+    verified_jaccard_pairs) share committed stages — the 2nd and 3rd
+    call resume instead of recomputing (the engine's idempotent-resume
+    contract doing real work in the correctness gate)."""
+    from simhash_spark.config import EngineConfig
+    from simhash_spark.plans.pipeline import DedupPipeline
+
+    ckpt = _PIPE_CKPTS.setdefault(sf_dir, tempfile.mkdtemp(prefix="simhash-entry-"))
+    pipe = DedupPipeline(spark, ckpt, EngineConfig())
+    pipe.run(_docs_as_clips(spark, sf_dir))
+    return pipe
+
+
 def _docs_as_clips(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -436,24 +454,12 @@ def q_minhash_bands(spark, sf_dir):
 def q_doc_dup_clusters(spark, sf_dir):
     """Flagship: full pipeline (simhash + minhash LSH + substring grams ->
     candidates -> verify -> connected components) on documents."""
-    from simhash_spark.config import EngineConfig
-    from simhash_spark.plans.pipeline import DedupPipeline
-
-    clips = _docs_as_clips(spark, sf_dir)
-    ckpt = tempfile.mkdtemp(prefix="simhash-entry-")
-    pipe = DedupPipeline(spark, ckpt, EngineConfig())
-    return pipe.run(clips).orderBy("clip_id")
+    return _shared_pipeline(spark, sf_dir).store.read("clusters").orderBy("clip_id")
 
 
 def q_verified_dup_pairs(spark, sf_dir):
     """Verified near-dup pairs on documents (pre-clustering view)."""
-    from simhash_spark.config import EngineConfig
-    from simhash_spark.plans.pipeline import DedupPipeline
-
-    clips = _docs_as_clips(spark, sf_dir)
-    ckpt = tempfile.mkdtemp(prefix="simhash-entry-")
-    pipe = DedupPipeline(spark, ckpt, EngineConfig())
-    pipe.run(clips)
+    pipe = _shared_pipeline(spark, sf_dir)
     return pipe.store.read("verified_pairs").select("a", "b", "det", "method")
 
 
@@ -467,13 +473,7 @@ def q_verified_jaccard_pairs(spark, sf_dir):
     (sequence+substring shingles, array_intersect — no hashing), so the
     result sets and values match verbatim. A miss in the LSH pipeline
     shows up here as a missing row — this query IS the recall audit."""
-    from simhash_spark.config import EngineConfig
-    from simhash_spark.plans.pipeline import DedupPipeline
-
-    clips = _docs_as_clips(spark, sf_dir)
-    ckpt = tempfile.mkdtemp(prefix="simhash-entry-")
-    pipe = DedupPipeline(spark, ckpt, EngineConfig())
-    pipe.run(clips)
+    pipe = _shared_pipeline(spark, sf_dir)
     pairs = pipe.dup_pairs_from_clusters()  # (a, b) string ids, a < b
 
     d = _t(spark, sf_dir, "documents")
