@@ -371,6 +371,52 @@ def q_events_incremental(spark, sf_dir):
     )
 
 
+def q_streaming_events_hourly(spark, sf_dir):
+    """ORACLE-CHECKED Structured Streaming: event-time hourly windows
+    with a 1-hour late-data watermark over the events table, drained
+    with trigger(availableNow). Append mode emits a window exactly once
+    when the watermark (max seen ts - 1h) passes its end, so the emitted
+    set is precisely the windows with end <= max(ts) - 1h — which is
+    what the DuckDB oracle computes relationally."""
+    import uuid
+
+    from simhash_spark.streaming.windowed import windowed_event_counts
+
+    # the file stream source requires a DIRECTORY; stage the single
+    # events.parquet file behind a symlink (testdata stays untouched).
+    stage = _PIPE_CKPTS.setdefault(
+        ("events-stream", sf_dir), tempfile.mkdtemp(prefix="stream-ev-src-")
+    )
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    name = "stream_ev_" + uuid.uuid4().hex[:8]
+    wc = windowed_event_counts(
+        spark,
+        stage,
+        window="1 hour",
+        watermark="1 hour",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    q = (
+        wc.select(
+            F.unix_timestamp("window_start").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value_c",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-ev-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization: gap > 1800 s starts a new session (window lag +
     running sum)."""
@@ -656,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
         "events_hourly": q_events_hourly,
+        "streaming_events_hourly": q_streaming_events_hourly,
         "events_incremental": q_events_incremental,
         "user_sessions": q_user_sessions,
         "doc_setops": q_doc_setops,
@@ -788,6 +835,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_events_hourly": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+            FROM events
+            GROUP BY 1, 2
+            HAVING epoch(date_trunc('hour', min(ts)))::BIGINT + 3600
+                   <= (SELECT epoch(max(ts))::BIGINT - 3600 FROM events)
         """,
         "events_incremental": """
             SELECT event_type, count(*) AS n, min(event_id) AS first_id
