@@ -38,6 +38,24 @@ class IcebergUnavailable(RuntimeError):
     pass
 
 
+_SAFE_TOKEN = __import__("re").compile(r"^[A-Za-z0-9_.\-]{1,32}$")
+
+
+def batch_token(batch_id: str) -> str:
+    """Canonical fixed-width, filesystem-safe token for a caller batch id.
+    Short safe ids pass through verbatim (internal md5 / stream-batch-N
+    tokens are unchanged); anything longer than 32 chars or containing
+    path-unsafe characters maps to its md5 hex. The SAME mapping is used
+    for the idempotency membership check and the stored token, so a long
+    batch_id can never silently lose idempotency (it used to be stored
+    truncated to 32 chars but compared in full, so retries re-appended)."""
+    if _SAFE_TOKEN.match(batch_id):
+        return batch_id
+    import hashlib
+
+    return hashlib.md5(batch_id.encode("utf-8")).hexdigest()
+
+
 def iceberg_available(spark: SparkSession, catalog: str) -> bool:
     """True if an Iceberg catalog is configured AND its classes load.
     The sandbox image ships no iceberg-spark-runtime jar (SURVEY.md §7.0),
@@ -203,10 +221,10 @@ class CheckpointStore:
             )
         dirs = list(_data_dirs(m)) if m else []
         tokens = list(m.get("batch_tokens", [])) if m else []
-        if batch_id is not None and batch_id in tokens:
+        token = batch_token(batch_id) if batch_id is not None else uuid.uuid4().hex[:32]
+        if token in tokens:
             release_persisted(df)
             return m  # idempotent retry: this batch is already in the table
-        token = (batch_id or uuid.uuid4().hex)[:32]
         sdir = self._stage_dir(stage)
         os.makedirs(sdir, exist_ok=True)
         data_dir = os.path.join(sdir, f"data-{token}")
@@ -258,6 +276,36 @@ class CheckpointStore:
                 "refusing to resume (delete the checkpoint dir to rebuild)"
             )
         return self.spark.read.parquet(*_data_dirs(m))
+
+    def has_batch(self, stage: str, batch_id: str) -> bool:
+        """True iff ``batch_id``'s append to ``stage`` is durably committed
+        (i.e. a retry with this id would be a no-op)."""
+        m = self.read_manifest(stage)
+        return m is not None and batch_token(batch_id) in m.get("batch_tokens", [])
+
+    def read_batch(self, stage: str, batch_id: str, schema: str | None = None) -> DataFrame:
+        """Read back ONLY the rows appended under ``batch_id`` — the
+        durable per-batch output a replayed micro-batch must re-emit
+        instead of recomputing (an empty recompute would overwrite the
+        batch's real output; see streaming/incremental.py). ``schema``
+        is the fallback for an empty batch whose data dir holds no
+        parquet parts."""
+        m = self.read_manifest(stage)
+        token = batch_token(batch_id)
+        if m is None or token not in m.get("batch_tokens", []):
+            raise FileNotFoundError(f"batch {batch_id!r} not in stage {stage!r}")
+        data_dir = os.path.join(self._stage_dir(stage), f"data-{token}")
+        has_parts = any(
+            f.endswith(".parquet") for f in os.listdir(data_dir)
+        ) if os.path.isdir(data_dir) else False
+        if not has_parts:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"batch {batch_id!r} of stage {stage!r} has no parquet parts "
+                    "and no fallback schema was given"
+                )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(data_dir)
 
     def invalidate_from(self, stages: list[str], first_dirty: str) -> None:
         """Drop manifests of ``first_dirty`` and all later stages."""

@@ -108,3 +108,54 @@ def test_streaming_signatures_match_batch(spark, tmp_path):
     got = {r.clip_id: r.simhash for r in spark.sql("SELECT * FROM sigs_out").collect()}
     want = R.simhash64_batch(texts)
     assert got == {"s1": int(want[0]), "s2": int(want[1]), "s3": int(want[2])}
+
+
+def test_replayed_batch_returns_stored_matches_not_empty(spark, tmp_path):
+    """Exactly-once across the OUTPUT write (ADVICE r2, medium): if the
+    caller's sink write fails after ingest() committed the watermark, the
+    replayed micro-batch must re-emit the batch's real matches — not
+    recompute an empty set against the already-advanced watermark."""
+    long = " ".join(f"word{i}" for i in range(40))
+    inc = IncrementalDedup(spark, str(tmp_path))
+    inc.ingest(_clips(spark, [("a", long)]), batch_id="stream-batch-0")
+    b1 = _clips(spark, [("c", long.replace("word20", "wordXX"))])
+    first = {(r.a, r.b) for r in inc.ingest(b1, batch_id="stream-batch-1").collect()}
+    assert ("a", "c") in first
+    # replay the SAME micro-batch (sink write "failed" after commit)
+    replay = {(r.a, r.b) for r in inc.ingest(b1, batch_id="stream-batch-1").collect()}
+    assert replay == first
+    # and state was not double-appended by the replay
+    m = inc.store.read_manifest("seen_ids")
+    assert len(m["batch_tokens"]) == 2
+
+
+def test_replayed_empty_match_batch_roundtrips(spark, tmp_path):
+    """A batch with ZERO matches must replay as an empty DataFrame with
+    the matches schema (empty parquet dirs have no parts to infer from)."""
+    inc = IncrementalDedup(spark, str(tmp_path))
+    b = _clips(spark, [("x", "nothing matches this text")])
+    assert inc.ingest(b, batch_id="bz").count() == 0
+    replay = inc.ingest(b, batch_id="bz")
+    assert replay.count() == 0
+    assert [f[0] for f in replay.dtypes] == ["a", "b", "det", "method", "hamming", "jaccard"]
+
+
+def test_long_batch_id_idempotency(spark, tmp_path):
+    """batch_ids longer than 32 chars (or path-unsafe) must stay
+    idempotent: the stored token and the membership check use the same
+    canonical mapping (ADVICE r2: it was stored truncated but compared
+    in full, so every retry re-appended)."""
+    from simhash_spark.sources.tableio import CheckpointStore, batch_token
+
+    store = CheckpointStore(spark, str(tmp_path))
+    df = spark.createDataFrame([("r1",)], "clip_id string")
+    long_id = "external-system-supplied-batch-identifier-2026-08-16T00:00:00Z/7"
+    assert len(long_id) > 32
+    store.append("t", df, batch_id=long_id)
+    store.append("t", df, batch_id=long_id)  # retry must be a no-op
+    m = store.read_manifest("t")
+    assert m["rows"] == 1 and len(m["data_dirs"]) == 1
+    assert m["batch_tokens"] == [batch_token(long_id)]
+    assert store.has_batch("t", long_id)
+    # token is filesystem-safe and fixed-width for unsafe ids
+    assert "/" not in batch_token(long_id) and len(batch_token(long_id)) == 32
