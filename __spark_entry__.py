@@ -337,11 +337,13 @@ def q_cosine_topk(spark, sf_dir):
 def q_cosine_neardup_pairs(spark, sf_dir):
     """Exact cosine >= 0.45 pairs via blocked GEMM (operators/ann.py):
     no row-level CartesianProduct — B*(B+1)/2 bounded-memory matmul
-    tiles; identical result set to the naive O(n^2) DuckDB oracle."""
+    tiles over cogrouped rows (no block ever packed into one row), B
+    auto-sized from the table's count; identical result set to the
+    naive O(n^2) DuckDB oracle."""
     from simhash_spark.operators.ann import cosine_pairs_blocked
 
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(e, threshold=0.45, n_blocks=8).select("a", "b")
+    return cosine_pairs_blocked(e, threshold=0.45).select("a", "b")
 
 
 def q_events_hourly(spark, sf_dir):

@@ -111,6 +111,32 @@ def test_cosine_pairs_blocked_exact(spark, emb_df):
     assert want  # the planted neighbors guarantee a non-trivial set
 
 
+def test_cosine_pairs_blocked_autosized_tiny_budget(spark, emb_df):
+    """n_blocks=None derives B from count/block_target_rows; a FORCED
+    tiny block budget (20 rows -> B=15 over 300 vectors) must still be
+    exact — and since tiles arrive as cogrouped ordinary rows, no
+    single row ever widens with the block (VERDICT r2 #2)."""
+    from simhash_spark.operators.ann import cosine_pairs_blocked
+
+    df, base = emb_df
+    n = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {
+        (i, j)
+        for i in range(len(base))
+        for j in range(i + 1, len(base))
+        if sims[i, j] >= 0.5
+    }
+    out = cosine_pairs_blocked(df, 0.5, n_blocks=None, block_target_rows=20)
+    got = {(r.a, r.b) for r in out.collect()}
+    assert got == want
+    # plan shape: grouped-map over (bi, bj), no cartesian, no collect_list
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_srp_buckets_deterministic(spark, emb_df):
     from simhash_spark.operators.ann import srp_buckets
 
