@@ -105,10 +105,12 @@ def main() -> None:
     qs = E.queries()
     per_query: dict[str, float] = {}
     total = 0.0
+    from simhash_spark.util import releasing
+
     for name in HEADLINE:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.count()  # materialize the full plan
+        with releasing(qs[name](spark, SF_DIR)) as df:
+            df.count()  # materialize the full plan
         dt = time.time() - t0
         per_query[name] = round(dt, 3)
         total += dt

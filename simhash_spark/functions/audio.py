@@ -179,35 +179,64 @@ def audio_dup_pairs(
     ber_max: float = 0.25,
     key_group_cap: int = 2000,
     min_shared_keys: int = 2,
+    len_bucket_frames: int = 128,
+    metrics_sink=None,
 ):
     """Audio-content near-dup pairs: (a, b, ber) with a < b.
 
     Same candidate->verify shape as the text detectors:
       candidates — equi self-join on per-frame 16-bit sub-fingerprints
         (HK's lookup unit; a true copy shares MANY frames verbatim even
-        when noise flips bits in most frames), gated on
-        ``min_shared_keys`` distinct shared sub-fingerprints (the
-        mh_hits>=2 idiom) so random 16-bit collisions never reach
-        verify; groups over ``key_group_cap`` dropped (hot-band guard).
-        At corpus scale the key should be composited with a coarse
-        duration bucket to keep group sizes sub-linear.
+        when noise flips bits in most frames) COMPOSITED with a coarse
+        duration bucket so a popular sub-fingerprint can't form one
+        corpus-wide group: at 10^12 clips the 16-bit key space alone
+        saturates, the (duration, key) composite keeps group sizes
+        sub-linear. The bucket is ``floor(n_frames/len_bucket_frames)``
+        over the clip's OWN fingerprint length (~2 s at 16 kHz default)
+        — an intrinsic duration proxy measured from the payload, so it
+        needs no metadata column and can't disagree with the audio.
+        Each clip probes its own bucket AND the one below, so true
+        copies whose lengths differ by < one bucket still collide
+        (|b1-b2|<=1 => {b1, b1-1} meets {b2, b2-1}); a pair's evidence
+        counts DISTINCT raw keys so the double-probe never inflates
+        ``min_shared_keys`` gating (the mh_hits>=2 idiom — random 16-bit
+        collisions never reach verify). Groups over ``key_group_cap``
+        are dropped, and the drop is LOGGED to ``metrics_sink`` (same
+        no-silent-truncation rule as operators/lsh.py).
       verify — bit error rate over the aligned fingerprint sequences,
         computed ENTIRELY in the JVM (zip_with + xor + bit_count):
         HK's match rule, BER < ``ber_max``.
     """
     fps = audio_fingerprints(clips).filter(F.size("fps") >= 2).persist()
+    len_bkt = F.floor(F.size("fps") / F.lit(int(len_bucket_frames)))
     keys = fps.select(
-        "clip_id", F.explode("fps").alias("key")
-    ).dropDuplicates(["clip_id", "key"])
-    sizes = keys.groupBy("key").agg(F.count("*").alias("grp_n"))
-    cold = keys.join(sizes.filter(F.col("grp_n").between(2, key_group_cap)), "key")
-    a = cold.select(F.col("key"), F.col("clip_id").alias("a"))
-    b = cold.select(F.col("key"), F.col("clip_id").alias("b"))
+        "clip_id",
+        F.explode(F.array(len_bkt, len_bkt - 1)).alias("dbkt"),
+        "fps",
+    ).select(
+        "clip_id", "dbkt", F.explode("fps").alias("key")
+    ).dropDuplicates(["clip_id", "dbkt", "key"])
+    grp = ["dbkt", "key"]
+    sizes = keys.groupBy(*grp).agg(F.count("*").alias("grp_n")).persist()
+    if metrics_sink is not None:
+        over = sizes.filter(F.col("grp_n") > key_group_cap).agg(
+            F.count("*").alias("groups"), F.coalesce(F.sum("grp_n"), F.lit(0)).alias("rows")
+        ).first()
+        metrics_sink(
+            "audio_hot_key_groups_dropped",
+            int(over["groups"]),
+            rows_dropped=int(over["rows"]),
+            cap=key_group_cap,
+            len_bucket_frames=len_bucket_frames,
+        )
+    cold = keys.join(sizes.filter(F.col("grp_n").between(2, key_group_cap)), grp)
+    a = cold.select(*grp, F.col("clip_id").alias("a"))
+    b = cold.select(*grp, F.col("clip_id").alias("b"))
     cand = (
-        a.join(b, "key")
+        a.join(b, grp)
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("shared_keys"))
+        .agg(F.countDistinct("key").alias("shared_keys"))
         .filter(F.col("shared_keys") >= min_shared_keys)
         .select("a", "b")
     )
@@ -232,7 +261,7 @@ def audio_dup_pairs(
     )
     from simhash_spark.util import track_persisted
 
-    return track_persisted(out, [fps])
+    return track_persisted(out, [fps, sizes])
 
 
 def transcode(df, target_codec: str):

@@ -32,23 +32,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persistent_ids(sc) -> set:
-    ids = set()
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        ids.add(it.next()._1())
-    return ids
+def _local_ckpt(df: DataFrame):
+    """Eager localCheckpoint + a DIRECT handle to the checkpointed RDD
+    (the LogicalRDD the new plan is rebased onto). Cleanup unpersists
+    exactly what CC created — the previous set-diff over the context's
+    global getPersistentRDDs map attributed any concurrently-persisted
+    blocks (a streaming query, a second pipeline on the same session) to
+    'this round' and unpersisted them out from under their owners
+    (ADVICE r2)."""
+    cdf = df.localCheckpoint()
+    return cdf, cdf._jdf.queryExecution().analyzed().rdd()
 
 
-def _unpersist_ids(sc, ids: set) -> None:
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    victims = []
-    while it.hasNext():
-        t = it.next()
-        if t._1() in ids:
-            victims.append(t._2())
-    for v in victims:
-        v.unpersist(False)
+def _unpersist(handles) -> None:
+    for h in handles:
+        try:
+            h.unpersist(False)
+        except Exception:
+            pass
 
 
 def connected_components(
@@ -67,28 +68,21 @@ def connected_components(
     already committed, iteration continues from the stored labels instead
     of restarting from scratch.
     """
-    sc = edges.sparkSession.sparkContext
-    ids_at_entry = _persistent_ids(sc)
-
     e = edges.select("a", "b")
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.dropDuplicates(["a", "b"]).localCheckpoint()
-    sym_ids = _persistent_ids(sc) - ids_at_entry
+    sym, sym_h = _local_ckpt(sym.dropDuplicates(["a", "b"]))
 
     resumed = store is not None and store.is_committed(stage)
+    prev_h: list = []  # handle(s) of the CURRENT round's checkpointed labels
     if resumed:
         labels = store.read(stage)
         if metrics_sink is not None:
             metrics_sink("cc_resume", 1, stage=stage)
     else:
-        labels = (
-            sym.select(F.col("a").alias("id"))
-            .distinct()
-            .withColumn("comp", F.col("id"))
-            .localCheckpoint()
+        labels, h = _local_ckpt(
+            sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
         )
-    prev_ids = _persistent_ids(sc) - ids_at_entry - sym_ids
-    known = ids_at_entry | sym_ids | prev_ids
+        prev_h = [h]
 
     from pyspark.sql import Observation
 
@@ -101,7 +95,7 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
         )
         obs = Observation(f"cc_iter_{it}")
-        new_labels = (
+        new_labels, new_h = _local_ckpt(  # one action per round: ckpt + observed count
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -114,15 +108,11 @@ def connected_components(
                 obs, F.sum((F.col("new_comp") != F.col("comp")).cast("long")).alias("changed")
             )
             .select("id", F.col("new_comp").alias("comp"))
-            .localCheckpoint()  # one action per round: checkpoint + observed count
         )
         changed = int(obs.get["changed"] or 0)
         # round r is materialized -> free round r-1's localCheckpoint blocks.
-        cur_ids = _persistent_ids(sc)
-        new_ids = cur_ids - known
-        _unpersist_ids(sc, prev_ids)
-        known = (known - prev_ids) | new_ids
-        prev_ids = new_ids
+        _unpersist(prev_h)
+        prev_h = [new_h]
         labels = new_labels
         if metrics_sink is not None:
             metrics_sink("cc_changed", changed, iteration=it)
@@ -130,9 +120,8 @@ def connected_components(
             # durable mid-loop checkpoint: survives executor/driver loss.
             store.write(stage, labels)
             labels = store.read(stage)
-            _unpersist_ids(sc, prev_ids)
-            known -= prev_ids
-            prev_ids = set()
+            _unpersist(prev_h)
+            prev_h = []
         if changed == 0:
             break
     else:
@@ -144,7 +133,10 @@ def connected_components(
         # be freed immediately.
         store.write(stage, labels)
         labels = store.read(stage)
-        _unpersist_ids(sc, (prev_ids | sym_ids))
+        _unpersist(prev_h)
+        prev_h = []
+    # sym is CC-internal either way: the returned labels never reference it.
+    _unpersist([sym_h])
 
     return labels.select(F.col("id").alias("clip_id"), F.col("comp").alias("cluster_id"))
 

@@ -60,13 +60,36 @@ def handle_payload(model: SimHashClassifier, payload: str, lr: float = 0.5):
     return reply, learned
 
 
+def submit_job(job_dir: str, name: str, payload: str) -> str:
+    """Atomically drop a job: write ``<name>.tmp``, then os.replace to
+    ``<name>.job`` — the same rename idiom the reply path uses. The
+    worker lists-then-consumes, so a job file must appear COMPLETE or
+    not at all; an in-place open/write/close can be read mid-write,
+    processing a truncated payload whose at-most-once removal then hides
+    the corruption (ADVICE r2). Producers must use this (or the same
+    idiom); ``grace_sec`` is the worker-side guard for those that can't."""
+    os.makedirs(job_dir, exist_ok=True)
+    tmp = os.path.join(job_dir, name + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(job_dir, name + ".job")
+    os.replace(tmp, final)
+    return final
+
+
 class JobQueueWorker:
     """Directory-based job queue worker with a debounced checkpointer.
 
     Drop ``<name>.job`` files (UTF-8 payload, F2 prefix format) into
-    ``job_dir``; each processed job is atomically answered with
+    ``job_dir`` — ATOMICALLY, via :func:`submit_job` or an equivalent
+    write-then-rename; each processed job is atomically answered with
     ``<name>.reply.json`` (infer modes) and the job file removed
     (at-most-once, like the reference's workDone acknowledgement).
+    ``grace_sec > 0`` additionally skips job files modified within that
+    window, tolerating producers that write in place (at the cost of
+    one poll of latency).
     """
 
     def __init__(
@@ -76,12 +99,14 @@ class JobQueueWorker:
         model_path: str | None = None,
         save_delay_sec: float = 60.0,
         clock=time.monotonic,
+        grace_sec: float = 0.0,
     ):
         self.model = model
         self.job_dir = job_dir
         self.model_path = model_path
         self.save_delay_sec = save_delay_sec
         self.clock = clock
+        self.grace_sec = grace_sec
         self._save_due: float | None = None
         os.makedirs(job_dir, exist_ok=True)
 
@@ -92,6 +117,12 @@ class JobQueueWorker:
             if not name.endswith(".job"):
                 continue
             path = os.path.join(self.job_dir, name)
+            if self.grace_sec > 0:
+                try:
+                    if time.time() - os.path.getmtime(path) < self.grace_sec:
+                        continue  # possibly still being written in place
+                except OSError:
+                    continue  # vanished between listdir and stat
             with open(path, encoding="utf-8") as f:
                 payload = f.read()
             reply, learned = handle_payload(self.model, payload)

@@ -22,3 +22,24 @@ def release_persisted(df: DataFrame) -> None:
         except Exception:
             pass
     df._persisted_deps = []
+
+
+class releasing:
+    """Context manager for DIRECT consumers of a track_persisted result
+    (ones that collect/count it themselves instead of routing it through
+    CheckpointStore.write, which releases automatically): guarantees the
+    recorded persists are dropped when the block exits, so a long-lived
+    driver doesn't leak executor storage (ADVICE r2)::
+
+        with releasing(audio_dup_pairs(clips)) as pairs:
+            rows = pairs.collect()
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __enter__(self) -> DataFrame:
+        return self.df
+
+    def __exit__(self, *exc) -> None:
+        release_persisted(self.df)

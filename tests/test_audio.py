@@ -114,3 +114,51 @@ def test_audio_dup_pairs_finds_perturbed_copies(spark):
     # no cross-pair between unrelated originals
     originals = {tuple(sorted((x, y))) for x in clips_pd["clip_id"][:12] for y in clips_pd["clip_id"][:12] if x < y}
     assert not (got_norm & originals)
+
+
+def test_audio_hot_key_drop_is_logged(spark):
+    """Over-cap sub-fingerprint groups must be reported to metrics_sink,
+    not silently dropped (VERDICT r2 #4 — lsh.py's no-silent-truncation
+    rule applies to the audio detector too)."""
+    import numpy as np
+
+    from simhash_spark.functions.audio import audio_dup_pairs
+    from simhash_spark.sources.synth import make_clips
+
+    clips_pd, _ = make_clips(6, seed=9, dur_ms_range=(900, 1100))
+    # six byte-identical copies: every sub-fingerprint group has size 6
+    raw = bytes(clips_pd["bytes"][0])
+    rows = [(f"copy-{i}", raw) for i in range(6)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    events = []
+
+    def sink(name, value, **kw):
+        events.append((name, value, kw))
+
+    audio_dup_pairs(df, key_group_cap=2, metrics_sink=sink).collect()
+    drops = [e for e in events if e[0] == "audio_hot_key_groups_dropped"]
+    assert len(drops) == 1
+    name, groups, kw = drops[0]
+    assert groups > 0 and kw["rows_dropped"] >= groups * 3
+    assert kw["cap"] == 2
+
+
+def test_releasing_frees_direct_consumer_persists(spark):
+    """audio_dup_pairs consumed directly (no CheckpointStore.write) must
+    have an explicit release path for its internal persists (ADVICE r2)."""
+    from simhash_spark.functions.audio import audio_dup_pairs
+    from simhash_spark.sources.synth import make_clips
+    from simhash_spark.util import releasing
+
+    clips_pd, _ = make_clips(8, seed=3, dur_ms_range=(700, 900))
+    rows = [(c, bytes(b)) for c, b in zip(clips_pd["clip_id"], clips_pd["bytes"])]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    with releasing(audio_dup_pairs(df)) as pairs:
+        pairs.collect()
+        assert n_persistent() > base  # persists live while consuming
+    assert n_persistent() == base  # and are freed on exit

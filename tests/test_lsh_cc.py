@@ -158,15 +158,49 @@ def test_cc_durable_checkpoint_and_resume(spark, tmp_path):
     assert rounds <= n - 3
 
 
+def _persistent_rdd_ids(sc) -> set:
+    ids = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
 def test_cc_frees_localcheckpoints_when_store_backed(spark, tmp_path):
-    from simhash_spark.operators.cc import _persistent_ids
     from simhash_spark.sources.tableio import CheckpointStore
 
-    before = _persistent_ids(spark.sparkContext)
+    before = _persistent_rdd_ids(spark.sparkContext)
     edges = spark.createDataFrame(
         [(f"w{i}", f"w{i+1}") for i in range(6)], "a string, b string"
     )
     store = CheckpointStore(spark, str(tmp_path / "ccfree"))
     connected_components(edges, store=store).collect()
-    leaked = _persistent_ids(spark.sparkContext) - before
+    leaked = _persistent_rdd_ids(spark.sparkContext) - before
     assert leaked == set()
+
+
+def test_cc_cleanup_spares_concurrent_caches(spark, tmp_path):
+    """CC's round cleanup must unpersist ONLY its own localCheckpoints:
+    a DataFrame another component persisted (or localCheckpointed) while
+    CC iterates must stay cached and readable (ADVICE r2 — the global
+    getPersistentRDDs set-diff attributed bystander blocks to 'this
+    round' and dropped them)."""
+    from simhash_spark.sources.tableio import CheckpointStore
+
+    bystander = spark.range(100).toDF("v").persist()
+    assert bystander.count() == 100  # materialize the cache
+    side_ckpt = spark.range(50).toDF("w").localCheckpoint()
+    assert side_ckpt.count() == 50
+    ids_with_bystanders = _persistent_rdd_ids(spark.sparkContext)
+
+    edges = spark.createDataFrame(
+        [(f"x{i}", f"x{i+1}") for i in range(8)], "a string, b string"
+    )
+    store = CheckpointStore(spark, str(tmp_path / "ccspare"))
+    connected_components(edges, store=store).collect()
+
+    still = _persistent_rdd_ids(spark.sparkContext)
+    assert ids_with_bystanders <= still  # nothing of ours was dropped
+    assert bystander.storageLevel.useMemory  # still marked persistent
+    assert side_ckpt.count() == 50  # localCheckpoint data still readable
+    bystander.unpersist()

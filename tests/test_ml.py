@@ -137,3 +137,28 @@ def test_job_queue_worker_replies_and_debounced_save(tmp_path):
     assert w.maybe_save()
     assert (tmp_path / "model.bin").exists()
     assert not w.maybe_save()  # saved once, timer cleared
+
+
+def test_submit_job_atomic_drop_and_grace_window(tmp_path):
+    """Producers drop jobs via write-then-rename (submit_job); a worker
+    with grace_sec skips files modified within the window so in-place
+    writers can't be read mid-write (ADVICE r2)."""
+    import os
+    import time as _time
+
+    from simhash_spark.streaming.serving import submit_job
+
+    m = SimHashClassifier()
+    m.learn_one("yes", "affirmative words indeed")
+    jd = tmp_path / "jobs"
+    w = JobQueueWorker(m, str(jd), grace_sec=0.4)
+
+    submit_job(str(jd), "a01", "0affirmative words")
+    assert not list(jd.glob("*.tmp"))  # no half-written temp left behind
+    # fresh file: inside the grace window -> skipped this poll
+    assert w.run_once() == 0
+    assert (jd / "a01.job").exists()
+    old = _time.time() - 1.0
+    os.utime(jd / "a01.job", (old, old))  # age it past the window
+    assert w.run_once() == 1
+    assert (jd / "a01.reply.json").exists()
