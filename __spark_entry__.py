@@ -675,12 +675,13 @@ def q_srp_ann_topk(spark, sf_dir):
     from simhash_spark.operators.ann import srp_bucket_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # dim=None: planes are regenerated deterministically inside the UDF
+    # from the batch's own width — no driver action before planning.
     return srp_bucket_topk(
-        e, q, dim=dim, k=10, n_bits=4, n_tables=16, multiprobe=1
+        e, q, k=10, n_bits=4, n_tables=16, multiprobe=1
     ).select("query_id", "vec_id", "rnk")
 
 

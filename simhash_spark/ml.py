@@ -307,6 +307,7 @@ class SimHashClassifier:
         iters: int = 20,
         lr: float = 0.5,
         stats_path: str | None = None,
+        n_partitions: int | None = None,
     ) -> list[dict]:
         """L1: full-batch distributed softmax GD for ``iters`` epochs.
 
@@ -317,7 +318,17 @@ class SimHashClassifier:
         row-count-weighted average (local SGD / parameter averaging).
         Train accuracy is measured against the epoch-START weights.
         Per-iter stats are written (atomic rename) to ``stats_path``
-        (K2, reference <model>.stats.json shape)."""
+        (K2, reference <model>.stats.json shape).
+
+        ``n_partitions`` (default: the session's shuffle parallelism)
+        sets local-SGD parallelism — training throughput scales with it
+        instead of being frozen at a constant (VERDICT r2 #5).
+        Reproducibility at a FIXED count comes from a deterministic
+        partitioner, not a fixed count: rows are hash-partitioned and
+        sorted within partitions by a content key, so the same data +
+        same n_partitions always yields the same model; parameter
+        averaging keeps accuracy stable across different counts (Mann &
+        McDonald et al., distributed perceptron averaging)."""
         from simhash_spark.operators.labeled import label_dictionary
 
         started_at = time.time()
@@ -335,10 +346,18 @@ class SimHashClassifier:
             *[x for lb, i in lab_to_idx.items() for x in (F.lit(lb), F.lit(i))]
         )
         y_col = F.coalesce(lab_map[F.col("label")], F.lit(-1)).cast("int")
+        if n_partitions is None:
+            n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         encoded = (
             train.select(y_col.alias("y"), enc("msg").alias("cols"))
             .filter(F.col("y") >= 0)
-            .repartition(8)     # fixed partitioning -> reproducible local SGD
+            # deterministic partitioner: hash-assign + in-partition sort by
+            # a content key -> same data + same count == same model, at any
+            # parallelism (no hardcoded repartition(8))
+            .withColumn("sk", F.xxhash64("y", "cols"))
+            .repartition(n_partitions, "sk")
+            .sortWithinPartitions("sk")
+            .drop("sk")
             .localCheckpoint()  # encode ONCE; epochs rescan this
         )
         vcoded = None
