@@ -511,6 +511,49 @@ def q_verified_dup_pairs(spark, sf_dir):
     return pipe.store.read("verified_pairs").select("a", "b", "det", "method")
 
 
+# side parquet the hamming-tier oracle reads: the Spark query materializes
+# (candidate pair, sig_a, sig_b) here BEFORE the gate runs the DuckDB SQL
+# (the gate collects the Spark result first), so both engines apply the
+# tier rule to the same rows. Fixed path: overwritten per call, and the
+# oracle always runs against the file the immediately-preceding Spark
+# call wrote.
+_HAMMING_AUDIT_PATH = "/tmp/simhash-oracle-side/hamming_audit.parquet"
+
+
+def q_verified_hamming_pairs(spark, sf_dir):
+    """ORACLE-CHECKED hamming verify tier (VERDICT r2 #7): signatures
+    can't be recomputed relationally, but the TIER RULE can — materialize
+    the pipeline's candidate pairs with both simhash signatures to a side
+    parquet, apply bit_count(sig_a XOR sig_b) <= VERIFY_HAMMING_MAX
+    JVM-side, and let DuckDB re-apply the identical rule over the same
+    file. A disagreement in the xor/popcount/threshold logic (or a pair
+    the pipeline's verify tier would mis-route) shows up as a row or
+    value mismatch."""
+    from simhash_spark import config as C
+
+    pipe = _shared_pipeline(spark, sf_dir)
+    pairs = pipe.store.read("candidate_pairs").select("a", "b")
+    sigs = pipe.store.read("profile").select("clip_id", "simhash")
+    joined = (
+        pairs.join(
+            sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")), "a"
+        )
+        .join(
+            sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")), "b"
+        )
+        .select("a", "b", "sig_a", "sig_b")
+    )
+    joined.write.mode("overwrite").parquet(_HAMMING_AUDIT_PATH)
+    side = spark.read.parquet(_HAMMING_AUDIT_PATH)
+    return (
+        side.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= C.VERIFY_HAMMING_MAX)
+        .select("a", "b", "hamming")
+    )
+
+
 def q_verified_jaccard_pairs(spark, sf_dir):
     """ORACLE-CHECKED view of the three-detector pipeline: all document
     pairs with char-5-shingle jaccard >= 0.8. Candidates come from the
@@ -716,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
+        "verified_hamming_pairs": q_verified_hamming_pairs,
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
@@ -880,6 +924,12 @@ def oracle_sql() -> dict[str, str]:
              SELECT doc_id FROM documents WHERE source = 'src0')
             EXCEPT
             SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'
+        """,
+        "verified_hamming_pairs": f"""
+            SELECT a, b,
+                   bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
+            FROM read_parquet('{_HAMMING_AUDIT_PATH}/*.parquet')
+            WHERE bit_count(xor(sig_a, sig_b)) <= 3
         """,
         "verified_jaccard_pairs": f"""
             WITH base AS (
