@@ -187,3 +187,75 @@ def test_fit_accuracy_stable_across_parallelism(spark, tmp_path):
     m2 = SimHashClassifier()
     m2.fit(spark, train, valid, iters=30, n_partitions=32)
     assert np.array_equal(m2.W, weights[32])
+
+
+# --- Q1/EP3 depth: N-replica round-robin socket serving ---------------------
+
+def test_replica_pool_round_robin_dispatch(tmp_path):
+    """readQueue semantics: strict rotation over N replicas, counts
+    balanced regardless of concurrency (VERDICT r2 #9)."""
+    from simhash_spark.streaming.replicas import ReplicaPool
+
+    def make():
+        m = SimHashClassifier()
+        for _ in range(5):
+            m.learn_one("yes", "affirmative words indeed")
+            m.learn_one("no", "negative denial words")
+        return m
+
+    pool = ReplicaPool(make, n_replicas=3)
+    try:
+        futs = [pool.dispatch("affirmative words") for _ in range(12)]
+        replies = [f.result(timeout=30) for f in futs]
+        assert all(r[0][0] == "yes" for r in replies)
+        assert pool.dispatch_counts == [4, 4, 4]
+    finally:
+        pool.stop()
+
+
+def test_unix_socket_server_concurrent_clients(tmp_path):
+    import json as _json
+    import socket
+    import threading
+
+    from simhash_spark.streaming.replicas import ReplicaPool, UnixSocketServer
+
+    def make():
+        m = SimHashClassifier()
+        for _ in range(5):
+            m.learn_one("yes", "affirmative words indeed")
+            m.learn_one("no", "negative denial words")
+        return m
+
+    pool = ReplicaPool(make, n_replicas=4)
+    sock_path = str(tmp_path / "simhash.sock")
+    srv = UnixSocketServer(pool, sock_path).start()
+    results = []
+    lock = threading.Lock()
+
+    def client(n_msgs):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock_path)
+        buf = b""
+        for _ in range(n_msgs):
+            c.sendall(b"negative denial words\n")
+            while b"\n" not in buf:
+                buf += c.recv(65536)
+            line, buf = buf.split(b"\n", 1)
+            with lock:
+                results.append(_json.loads(line.decode()))
+        c.close()
+
+    try:
+        threads = [threading.Thread(target=client, args=(4,)) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 16
+        assert all(r[0][0] == "no" for r in results)
+        # 16 requests over 4 replicas, strict round-robin -> 4 each
+        assert pool.dispatch_counts == [4, 4, 4, 4]
+    finally:
+        srv.stop()
+        pool.stop()
