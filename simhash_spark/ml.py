@@ -207,6 +207,100 @@ def _active_columns(bit_rows: list[np.ndarray], opts: V2Opts, pool: np.ndarray) 
     return cols
 
 
+def _active_columns_boosted(
+    bit_rows: list[np.ndarray], opts: V2Opts, connected: np.ndarray, boost: np.ndarray
+) -> np.ndarray:
+    """Winner columns by BOOSTED overlap over CONNECTED synapses — the
+    frozen-inference view of a (possibly trained) SpatialPooler; used by
+    both the serving kernel and the broadcast-snapshot pandas UDF so
+    batch and single-item encodes cannot drift."""
+    n = len(bit_rows)
+    cols = np.empty((n, opts.active_cols), dtype=np.int32)
+    for i, bits in enumerate(bit_rows):
+        overlap = (
+            connected[:, bits].sum(axis=1).astype(np.float64)
+            if len(bits)
+            else np.zeros(opts.column_size)
+        )
+        order = np.argsort(-(overlap * boost), kind="stable")
+        cols[i] = np.sort(order[: opts.active_cols])
+    return cols
+
+
+class SpatialPooler:
+    """E3 at full depth — htm.core SpatialPooler learning semantics
+    (public algorithm: Cui, Ahmad & Hawkins 2017, "The HTM Spatial
+    Pooler"; htm.core SpatialPooler.cpp), numpy-vectorized. The
+    reference trains its SP during v2 learning — ``SP.compute … True``
+    (/root/reference/src/Htm/V2.hs:97-102) — and this reproduces the
+    three learned behaviors on top of the fixed seeded potential pool:
+
+      permanence adaptation  winners' synapses to ACTIVE inputs +inc,
+                             to inactive inputs -dec, clipped to [0,1];
+                             a synapse is connected iff perm >= thresh
+      duty-cycle tracking    per-column moving average of activity
+      exponential boosting   factor = exp((target_density - duty) * strength)
+
+    Defaults follow htm.core's (synPermConnected .1, ActiveInc .05,
+    InactiveDec .008, dutyCyclePeriod 1000); boost_strength defaults >0
+    so starved columns recover (htm.core ships 0.0 = off — configurable
+    here the same way). With ``learn=False`` throughout, behavior
+    reduces to a fixed random-projection pooler (the untrained analog
+    used when ``sp_learning`` is off)."""
+
+    def __init__(
+        self,
+        opts: V2Opts,
+        seed: int = POOL_SEED,
+        syn_perm_connected: float = 0.1,
+        syn_perm_active_inc: float = 0.05,
+        syn_perm_inactive_dec: float = 0.008,
+        boost_strength: float = 2.0,
+        duty_cycle_period: int = 1000,
+    ):
+        self.opts = opts
+        self.spc = syn_perm_connected
+        self.inc = syn_perm_active_inc
+        self.dec = syn_perm_inactive_dec
+        self.boost_strength = boost_strength
+        self.duty_cycle_period = duty_cycle_period
+        self.potential = _pool_matrix(opts)
+        rng = np.random.Generator(np.random.PCG64(seed + 1))
+        self.perm = np.where(
+            self.potential,
+            rng.uniform(0.0, 2.0 * syn_perm_connected, self.potential.shape),
+            0.0,
+        )
+        self.boost = np.ones(opts.column_size, dtype=np.float64)
+        self.active_dc = np.zeros(opts.column_size, dtype=np.float64)
+        self.t = 0
+        self._connected: np.ndarray | None = None
+
+    @property
+    def connected(self) -> np.ndarray:
+        if self._connected is None:
+            self._connected = self.perm >= self.spc
+        return self._connected
+
+    def compute(self, bits: np.ndarray, learn: bool = False) -> np.ndarray:
+        """active encoder bits -> sorted winner columns; optionally learn."""
+        cols = _active_columns_boosted([bits], self.opts, self.connected, self.boost)[0]
+        if learn and len(bits):
+            active = np.zeros(self.opts.size, dtype=bool)
+            active[bits] = True
+            delta = np.where(active[None, :], self.inc, -self.dec) * self.potential[cols]
+            self.perm[cols] = np.clip(self.perm[cols] + delta, 0.0, 1.0)
+            self._connected = None
+            period = min(self.duty_cycle_period, self.t + 1)
+            act = np.zeros(self.opts.column_size, dtype=np.float64)
+            act[cols] = 1.0
+            self.active_dc = (self.active_dc * (period - 1) + act) / period
+            target = self.opts.active_cols / self.opts.column_size
+            self.boost = np.exp((target - self.active_dc) * self.boost_strength)
+            self.t += 1
+        return cols
+
+
 def _softmax(z: np.ndarray) -> np.ndarray:
     z = z - z.max(axis=1, keepdims=True)
     e = np.exp(z)
@@ -222,12 +316,16 @@ class SimHashClassifier:
     """Softmax classifier over pooled SDR columns (the reference model's
     encoder->SP->SDRClassifier chain, Spark-first)."""
 
-    def __init__(self, opts: V2Opts | None = None):
+    def __init__(self, opts: V2Opts | None = None, sp_learning: bool = False):
         self.opts = opts or V2Opts()
         self.labels: list[str] = []  # D1: first-seen order
         self.W = np.zeros((self.opts.column_size, 0), dtype=np.float64)
         self.b = np.zeros(0, dtype=np.float64)
         self._pool = _pool_matrix(self.opts)
+        # E3 depth: sp_learning=True trains htm.core permanences/boosts
+        # on every learn_one (the reference's SP.compute learn=True path);
+        # off (default) keeps the fixed random-projection pooler.
+        self.sp = SpatialPooler(self.opts) if sp_learning else None
 
     # -- label dictionary (D1) ------------------------------------------
     def _label_idx(self, label: str) -> int:
@@ -241,7 +339,12 @@ class SimHashClassifier:
 
     # -- numpy kernels (serving + UDF-shared) ---------------------------
     def encode_cols(self, texts: list) -> np.ndarray:
-        return _active_columns(_encode_bits(texts, self.opts), self.opts, self._pool)
+        bit_rows = _encode_bits(texts, self.opts)
+        if self.sp is not None:
+            return _active_columns_boosted(
+                bit_rows, self.opts, self.sp.connected, self.sp.boost
+            )
+        return _active_columns(bit_rows, self.opts, self._pool)
 
     def scores(self, texts: list) -> np.ndarray:
         """(n, n_labels) softmax probabilities."""
@@ -259,9 +362,15 @@ class SimHashClassifier:
         return [(self.labels[i], float(p[i])) for i in order]
 
     def learn_one(self, label: str, msg: str, lr: float = 0.5) -> None:
-        """E4: single-sample online update (the serving learn path)."""
+        """E4: single-sample online update (the serving learn path).
+        With sp_learning, the pooler trains on the same sample first —
+        encode -> SP.compute(learn=True) -> classifier learn, the
+        reference's exact learn sequence (V2.hs:97-102)."""
         y = self._label_idx(label)
-        cols = self.encode_cols([msg])[0]
+        if self.sp is not None:
+            cols = self.sp.compute(_encode_bits([msg], self.opts)[0], learn=True)
+        else:
+            cols = self.encode_cols([msg])[0]
         p = _softmax((self.W[cols].sum(axis=0) + self.b)[None, :])[0]
         g = p.copy()
         g[y] -= 1.0
@@ -270,7 +379,25 @@ class SimHashClassifier:
 
     # -- distributed train/score (the Spark path) -----------------------
     def _encode_udf(self):
-        opts, pool = self.opts, self._pool
+        """Pandas UDF over a FROZEN snapshot of the pooler: with
+        sp_learning the current connected/boost state is broadcast, so
+        every partition encodes identically (permanences do not train
+        inside distributed epochs — cross-partition encode consistency;
+        SP training happens on the sequential learn_one path, where the
+        reference trains it too)."""
+        opts = self.opts
+        if self.sp is not None:
+            connected, boost = self.sp.connected.copy(), self.sp.boost.copy()
+
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def enc(msgs: pd.Series) -> pd.Series:
+                cols = _active_columns_boosted(
+                    _encode_bits(msgs.tolist(), opts), opts, connected, boost
+                )
+                return pd.Series(list(cols))
+
+            return enc
+        pool = self._pool
 
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def enc(msgs: pd.Series) -> pd.Series:
@@ -460,10 +587,23 @@ class SimHashClassifier:
         reference's atomic save idiom (saveV2)."""
         tmp = path + ".1"
         meta = json.dumps(
-            {"version": _MODEL_VERSION, "labels": self.labels, "opts": self.opts.to_dict()}
+            {
+                "version": _MODEL_VERSION,
+                "labels": self.labels,
+                "opts": self.opts.to_dict(),
+                "sp_learning": self.sp is not None,
+            }
         )
+        arrays = {"W": self.W, "b": self.b}
+        if self.sp is not None:
+            arrays.update(
+                sp_perm=self.sp.perm,
+                sp_boost=self.sp.boost,
+                sp_dc=self.sp.active_dc,
+                sp_t=np.array([self.sp.t], dtype=np.int64),
+            )
         with open(tmp, "wb") as f:
-            np.savez(f, W=self.W, b=self.b, meta=np.frombuffer(meta.encode(), dtype=np.uint8))
+            np.savez(f, meta=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
@@ -477,10 +617,16 @@ class SimHashClassifier:
                     f"model {path!r} has version {meta.get('version')}, "
                     f"this build reads version {_MODEL_VERSION}"
                 )
-            m = cls(V2Opts(**meta["opts"]))
+            m = cls(V2Opts(**meta["opts"]), sp_learning=meta.get("sp_learning", False))
             m.labels = list(meta["labels"])
             m.W = z["W"].astype(np.float64)
             m.b = z["b"].astype(np.float64)
+            if m.sp is not None:
+                m.sp.perm = z["sp_perm"].astype(np.float64)
+                m.sp.boost = z["sp_boost"].astype(np.float64)
+                m.sp.active_dc = z["sp_dc"].astype(np.float64)
+                m.sp.t = int(z["sp_t"][0])
+                m.sp._connected = None
         return m
 
 

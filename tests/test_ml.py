@@ -259,3 +259,95 @@ def test_unix_socket_server_concurrent_clients(tmp_path):
     finally:
         srv.stop()
         pool.stop()
+
+
+# --- E3 depth: htm.core SP learning semantics --------------------------------
+
+def test_sp_permanence_adaptation_and_boosting():
+    """Winners' synapses to active inputs strengthen (+inc), to inactive
+    inputs weaken (-dec), clipped to [0,1]; boosting lifts starved
+    columns' factors above active ones (htm.core semantics)."""
+    import numpy as np
+
+    from simhash_spark.ml import SpatialPooler, V2Opts
+
+    opts = V2Opts()
+    sp = SpatialPooler(opts)
+    bits = np.arange(0, 50, dtype=np.int64)
+    cols0 = sp.compute(bits, learn=False)
+    perm_before = sp.perm.copy()
+    cols1 = sp.compute(bits, learn=True)
+    assert np.array_equal(cols0, cols1)  # learning happens AFTER selection
+    w = cols1
+    active_pot = sp.potential[w][:, bits]
+    # +inc on potential synapses to active bits
+    dp = (sp.perm[w][:, bits] - perm_before[w][:, bits])[active_pot]
+    assert np.allclose(dp, sp.inc) or (dp <= sp.inc + 1e-12).all()
+    # -dec on potential synapses to inactive bits
+    inact = np.setdiff1d(np.arange(opts.size), bits)
+    ip = sp.potential[w][:, inact]
+    dn = (sp.perm[w][:, inact] - perm_before[w][:, inact])[ip]
+    assert (dn <= 0).all()
+    assert sp.perm.min() >= 0.0 and sp.perm.max() <= 1.0
+    # boosting: repeatedly-active columns get factor < 1 < starved columns
+    for _ in range(20):
+        sp.compute(bits, learn=True)
+    active_cols = sp.compute(bits, learn=False)
+    starved = np.setdiff1d(np.arange(opts.column_size), active_cols)[:10]
+    assert sp.boost[active_cols].mean() < sp.boost[starved].mean()
+
+
+def test_sp_learning_separates_repeated_patterns():
+    """After training, two distinct repeated patterns keep distinct
+    winner sets (the pooler does not collapse them)."""
+    import numpy as np
+
+    from simhash_spark.ml import SpatialPooler, V2Opts
+
+    opts = V2Opts()
+    sp = SpatialPooler(opts)
+    pa = np.arange(0, 60, dtype=np.int64)
+    pb = np.arange(120, 180, dtype=np.int64)
+    for _ in range(30):
+        sp.compute(pa, learn=True)
+        sp.compute(pb, learn=True)
+    wa = set(sp.compute(pa, learn=False).tolist())
+    wb = set(sp.compute(pb, learn=False).tolist())
+    assert len(wa & wb) < len(wa) * 0.5
+
+
+def test_sp_learning_classifier_meets_reference_bar(tmp_path):
+    """E3 no longer 'partial': with sp_learning on, the full
+    encode -> SP(learn=True) -> classifier-learn sequence still meets
+    the reference's 66.66% sample accuracy, and SP state round-trips
+    through save/load."""
+    import numpy as np
+
+    lines_t = open(os.path.join(SAMPLE, "train_data.txt")).read().splitlines()
+    lines_v = open(os.path.join(SAMPLE, "valid_data.txt")).read().splitlines()
+
+    def parse(ls):
+        out = []
+        for ln in ls:
+            if not ln.strip():
+                continue
+            lb, _, msg = ln.partition(",")
+            out.append((lb.strip(), msg.strip()))
+        return out
+
+    m = SimHashClassifier(sp_learning=True)
+    for _ in range(30):
+        for lb, msg in parse(lines_t):
+            m.learn_one(lb, msg)
+    valid = parse(lines_v)
+    correct = sum(1 for lb, msg in valid if m.infer_one(msg)[0][0] == lb)
+    assert correct / len(valid) >= 0.6666
+    assert m.sp.t > 0  # the pooler actually trained
+    p = str(tmp_path / "sp_model.bin")
+    m.save(p)
+    m2 = SimHashClassifier.load(p)
+    assert m2.sp is not None and m2.sp.t == m.sp.t
+    assert np.array_equal(m2.sp.perm, m.sp.perm)
+    # identical post-load inference
+    for lb, msg in valid:
+        assert m.infer_one(msg) == m2.infer_one(msg)
