@@ -146,4 +146,8 @@ SEMANTICS = {
     "minhash_prime": MINHASH_PRIME,
     "minhash_seed": MINHASH_SEED,
     "hash_person": HASH_PERSON.decode(),
+    # band-table layout: one packed long key det(2b)|band_id(5b)|hash(57b)
+    # (operators/lsh.py). Checkpoints written under the unpacked
+    # (det, band_id, band_hash) layout refuse to resume.
+    "band_key_layout": "packed-det2-band5-hash57",
 }

@@ -1,19 +1,32 @@
 """LSH banding + hot-band handling + candidate pair generation.
 
-Three detectors share one band-table shape
-``(clip_id, det, band_id, band_hash)``:
+Four detectors share ONE PACKED 64-bit band key — the band table is just
+``(clip_id, bkey)``:
 
-- ``exact``  — xxhash64 of the normalized text (JVM-side, zero UDF);
-- ``sim``    — Manku-style SimHash tables: C(6,3)=20 keys, each packing
-               3 of 6 blocks (~33 bits; JVM shifts; pigeonhole covers
-               hamming <= 3 with ~2^17x fewer accidental collisions than
-               naive 16-bit quarter blocks);
-- ``mh``     — 32 MinHash band hashes (fused minhash+banding pandas UDF);
-- ``gram``   — content-sampled 16-char gram ids (substring detector).
+    bkey = det_id(2 bits, 62..63) | band_id(5 bits, 57..61)
+         | band_hash low 57 bits
+
+- ``exact`` (det_id 0) — xxhash64 of the normalized text (JVM, no UDF);
+- ``sim``   (det_id 1) — Manku-style SimHash tables: C(6,3)=20 keys,
+               each packing 3 of 6 blocks (~33 bits; JVM shifts;
+               pigeonhole covers hamming <= 3 with ~2^17x fewer
+               accidental collisions than naive 16-bit quarter blocks);
+- ``mh``    (det_id 2) — 32 MinHash band hashes (fused UDF; band_id 0..31);
+- ``gram``  (det_id 3) — content-sampled 16-char gram ids.
+
+Why packed (VERDICT r2 #4): the band path is the engine's biggest
+shuffle, and its row was (clip_id, det string, band_id int, band_hash
+long) — ~24 bytes of key columns plus comparator work per string key.
+One long narrows the shuffle row by ~a third and makes every keyed op
+an 8-byte comparison. Truncating band_hash to its LOW 57 bits (all
+sources are fully-mixed 64-bit hashes except sim keys, which live in
+the low ~38 bits — low-bit truncation preserves them exactly) can only
+ADD cross-hash collisions within a (det, band_id) at P ~ 2^-57 — a
+spurious CANDIDATE that verify then rejects; recall is unaffected.
 
 Scale design (the part that must survive 10^12 rows):
 
-- Pair generation is an equi self-join on (det, band_id, band_hash) —
+- Pair generation is an equi self-join on bkey —
   sort-merge under AQE with skew-join splitting enabled.
 - A single pathological band key still yields O(n^2) pairs no matter how
   AQE splits partitions, so band GROUPS are sized first with a cheap
@@ -41,47 +54,70 @@ from simhash_spark.functions.signatures import (
 from simhash_spark.util import track_persisted
 
 
+#: detector names in det_id order (bkey bits 62..63); the order IS the
+#: pair-dedupe priority: exact > sim > mh > gram.
+DETS = ["exact", "sim", "mh", "gram"]
+_HASH57 = (1 << 57) - 1
+
+
+def _pack_bkey(det_id: int, band_id, band_hash) -> "F.Column":
+    """(det_id, band_id, band_hash) -> one packed long key (module doc).
+    All shifts happen JVM-side so det_id 2/3 wrap into the sign bit
+    naturally (two's complement)."""
+    key = F.shiftleft(F.lit(det_id).cast("long"), 62)
+    band_id = F.lit(band_id) if isinstance(band_id, int) else band_id
+    return key.bitwiseOR(F.shiftleft(band_id.cast("long"), 57)).bitwiseOR(
+        band_hash.bitwiseAND(F.lit(_HASH57))
+    )
+
+
+def det_id_col(bkey) -> "F.Column":
+    bkey = F.col(bkey) if isinstance(bkey, str) else bkey
+    return F.shiftrightunsigned(bkey, 62).cast("int")
+
+
+def det_name_col(bkey) -> "F.Column":
+    return F.element_at(F.array(*[F.lit(d) for d in DETS]), det_id_col(bkey) + 1)
+
+
 def build_bands(
     normalized: DataFrame,
     signatures: DataFrame,
     detectors: tuple = ("simhash", "minhash", "substring"),
 ) -> DataFrame:
     """normalized(clip_id, norm_text) + signatures(clip_id, simhash)
-    -> bands(clip_id, det, band_id, band_hash)."""
+    -> bands(clip_id, bkey) — ONE packed long key per band row."""
     parts: list[DataFrame] = []
 
     # exact detector — always on; pure JVM hash of the normalized text.
     parts.append(
         normalized.select(
             "clip_id",
-            F.lit("exact").alias("det"),
-            F.lit(0).alias("band_id"),
-            F.xxhash64("norm_text").alias("band_hash"),
+            _pack_bkey(0, 0, F.xxhash64("norm_text")).alias("bkey"),
         )
     )
 
     if "simhash" in detectors:
         keys = simhash_table_key_cols("simhash")
-        # table index is packed INSIDE each key -> band_id stays 0 and one
-        # flat band_hash column carries all SIM_TABLES tables.
+        # table index is packed INSIDE each key (~38 low bits) -> band_id
+        # stays 0 and one flat column carries all SIM_TABLES tables.
         sim = signatures.select(
             "clip_id",
-            F.explode(F.array(*keys)).alias("band_hash"),
-        ).select(
-            "clip_id", F.lit("sim").alias("det"), F.lit(0).alias("band_id"), "band_hash"
+            F.explode(F.array(*[_pack_bkey(1, 0, k) for k in keys])).alias("bkey"),
         )
         parts.append(sim)
 
     if "minhash" in detectors:
         mh = normalized.select(
-            "clip_id", F.posexplode(minhash_bands_udf("norm_text")).alias("band_id", "band_hash")
-        ).select("clip_id", F.lit("mh").alias("det"), "band_id", "band_hash")
+            "clip_id",
+            F.posexplode(minhash_bands_udf("norm_text")).alias("band_id", "band_hash"),
+        ).select("clip_id", _pack_bkey(2, F.col("band_id"), F.col("band_hash")).alias("bkey"))
         parts.append(mh)
 
     if "substring" in detectors:
         gr = normalized.select(
             "clip_id", F.explode(substring_grams_udf("norm_text")).alias("band_hash")
-        ).select("clip_id", F.lit("gram").alias("det"), F.lit(0).alias("band_id"), "band_hash")
+        ).select("clip_id", _pack_bkey(3, 0, F.col("band_hash")).alias("bkey"))
         parts.append(gr)
 
     out = parts[0]
@@ -90,7 +126,7 @@ def build_bands(
     return out
 
 
-_KEYS = ["det", "band_id", "band_hash"]
+_KEYS = ["bkey"]
 
 
 def candidate_pairs(
@@ -146,8 +182,8 @@ def candidate_pairs(
     if metrics_sink is not None:
         # one pass over the per-key sizes yields band stats AND hot-band
         # diagnostics (exact distinct-hash counts — no extra bands scan).
-        is_hot = over_cap & (F.col("det") != "exact")
-        stat_rows = counts.groupBy("det").agg(
+        is_hot = over_cap & (det_id_col("bkey") != 0)
+        stat_rows = counts.withColumn("det", det_name_col("bkey")).groupBy("det").agg(
             F.sum("grp_n").alias("rows"),
             F.count("*").alias("distinct_hashes"),
             F.sum(F.when(is_hot, 1).otherwise(0)).alias("hot_groups"),
@@ -175,10 +211,11 @@ def candidate_pairs(
             max_pairs_per_group=max_pairs_per_group,
         )
 
-    is_star = over_cap | (F.col("det") == "exact")
+    is_star = over_cap | (det_id_col("bkey") == 0)
 
     # cold path: full pairwise within group via co-partitioned self-join
     # (group size <= cap bounds the worst group at cap^2/2 pairs).
+    # det travels as the 2-bit id packed in bkey — no extra column.
     cold_bands = annotated.filter(~is_star).select(*_KEYS, "clip_id")
     a = cold_bands.alias("a")
     b = cold_bands.alias("b")
@@ -188,7 +225,7 @@ def candidate_pairs(
         .select(
             F.col("a.clip_id").alias("a"),
             F.col("b.clip_id").alias("b"),
-            F.col("det"),
+            det_id_col("bkey").alias("det_id"),
             F.lit(0).alias("starred"),
         )
     )
@@ -203,35 +240,30 @@ def candidate_pairs(
         .select(
             F.col("hub").alias("a"),
             F.col("clip_id").alias("b"),
-            F.col("det"),
+            det_id_col("bkey").alias("det_id"),
             F.lit(1).alias("starred"),
         )
     )
 
     pairs = pairs_cold.unionByName(pairs_hot)
     # one pair may surface from many bands/detectors — dedupe keeping
-    # exact > sim > mh > gram priority, and COUNT per-detector band hits:
-    # verify uses mh_hits as a free jaccard pre-filter (a true j>=0.8
-    # pair hits >=2 of the 32 minhash bands w.p. 1-3e-5) and gram_hits to
-    # route substring checks.
-    pr = F.when(F.col("det") == "exact", 0).when(F.col("det") == "sim", 1).when(
-        F.col("det") == "mh", 2
-    ).otherwise(3)
+    # exact > sim > mh > gram priority (det_id order IS the priority),
+    # and COUNT per-detector band hits: verify uses mh_hits as a free
+    # jaccard pre-filter (a true j>=0.8 pair hits >=2 of the 32 minhash
+    # bands w.p. 1-3e-5) and gram_hits to route substring checks.
     pairs = (
-        pairs.withColumn("det_pr", pr)
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(
-            F.min("det_pr").alias("det_pr"),
-            F.sum(F.when(F.col("det") == "mh", 1).otherwise(0)).alias("mh_hits"),
-            F.sum(F.when(F.col("det") == "gram", 1).otherwise(0)).alias("gram_hits"),
+            F.min("det_id").alias("det_pr"),
+            F.sum(F.when(F.col("det_id") == 2, 1).otherwise(0)).alias("mh_hits"),
+            F.sum(F.when(F.col("det_id") == 3, 1).otherwise(0)).alias("gram_hits"),
             F.max("starred").alias("starred"),
         )
         .select(
             "a",
             "b",
             F.element_at(
-                F.array(F.lit("exact"), F.lit("sim"), F.lit("mh"), F.lit("gram")),
-                F.col("det_pr") + 1,
+                F.array(*[F.lit(d) for d in DETS]), F.col("det_pr") + 1
             ).alias("det"),
             "mh_hits",
             "gram_hits",

@@ -4,7 +4,7 @@ Stage DAG (each committed atomically via CheckpointStore; a re-run skips
 every committed stage — idempotent resume, SURVEY.md §5.2 item 5):
 
     profile          (clip_id, norm_text, simhash)
-    bands            (clip_id, det, band_id, band_hash)
+    bands            (clip_id, bkey)   packed long key, operators/lsh.py
     candidate_pairs  (a, b, det)
     verified_pairs   (a, b, det, method, hamming, jaccard)
     clusters         (clip_id, cluster_id)

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from simhash_spark.config import EngineConfig
 from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
-from simhash_spark.operators.lsh import build_bands
+from simhash_spark.operators.lsh import DETS, build_bands, det_id_col
 from simhash_spark.operators.verify import verify_pairs
 from simhash_spark.sources.tableio import CheckpointStore
 
@@ -39,7 +39,7 @@ class IncrementalDedup:
     accumulated tables are BUCKETED at the store layer — dir-encoded
     ``bkt=pmod(hash(key), n_buckets)`` inside every batch's data dir, the
     Iceberg bucket-partitioning analog):
-      band_index  (clip_id, det, band_id, band_hash) bkt(band_hash)
+      band_index  (clip_id, bkey)                    bkt(bkey)
       profile     (clip_id, norm_text, simhash)      bkt(clip_id)
       seen_ids    (clip_id)                          bkt(clip_id)
       matches     (a, b, det, method, hamming, jaccard) — per-batch output
@@ -49,7 +49,7 @@ class IncrementalDedup:
     those ``bkt=`` subdirs instead of scanning the whole accumulated
     table — per-batch read IO is O(touched buckets), not O(corpus life).
     Pruning is lossless because every join here is an equi-join on the
-    bucketed key (band_hash for the candidate join, clip_id for the
+    bucketed key (bkey for the candidate join, clip_id for the
     watermark anti-join and the verify side table): a matching row can
     only live in its key's bucket. ``n_buckets`` is pinned in each
     stage's manifest on first append; mixed layouts are refused.
@@ -123,13 +123,11 @@ class IncrementalDedup:
         )
         new_bands = (
             build_bands(prof_new, prof_new, detectors=self.cfg.detectors)
-            .withColumn("bkt", F.pmod(F.col("band_hash"), F.lit(self.n_buckets)).cast("int"))
+            .withColumn("bkt", F.pmod(F.col("bkey"), F.lit(self.n_buckets)).cast("int"))
             .persist()
         )
         band_bkts = self._touched(new_bands, F.col("bkt"))
-        index = self._state_pruned(
-            "band_index", "clip_id string, det string, band_id int, band_hash long", band_bkts
-        )
+        index = self._state_pruned("band_index", "clip_id string, bkey long", band_bkts)
 
         if batch_id is None:
             # deterministic token over the batch's id set -> idempotent
@@ -140,7 +138,7 @@ class IncrementalDedup:
             batch_id = row["h"] or hashlib.md5(b"empty").hexdigest()
 
         # --- candidate collisions (band hits, counted per detector) -----
-        keys = ["det", "band_id", "band_hash"]
+        keys = ["bkey"]
         vs_old = new_bands.join(
             index.select(*keys, F.col("clip_id").alias("other_id")), keys, "inner"
         ).filter(F.col("clip_id") != F.col("other_id"))
@@ -151,29 +149,22 @@ class IncrementalDedup:
         coll = vs_old.unionByName(vs_new).select(
             F.least("clip_id", "other_id").alias("a"),
             F.greatest("clip_id", "other_id").alias("b"),
-            "det",
+            det_id_col("bkey").alias("det_id"),
         )
         # same dedupe + evidence-count shape as operators/lsh.candidate_pairs
-        pr = (
-            F.when(F.col("det") == "exact", 0)
-            .when(F.col("det") == "sim", 1)
-            .when(F.col("det") == "mh", 2)
-            .otherwise(3)
-        )
+        # (det_id order IS the exact > sim > mh > gram priority)
         pairs = (
-            coll.withColumn("det_pr", pr)
-            .groupBy("a", "b")
+            coll.groupBy("a", "b")
             .agg(
-                F.min("det_pr").alias("det_pr"),
-                F.sum(F.when(F.col("det") == "mh", 1).otherwise(0)).alias("mh_hits"),
-                F.sum(F.when(F.col("det") == "gram", 1).otherwise(0)).alias("gram_hits"),
+                F.min("det_id").alias("det_pr"),
+                F.sum(F.when(F.col("det_id") == 2, 1).otherwise(0)).alias("mh_hits"),
+                F.sum(F.when(F.col("det_id") == 3, 1).otherwise(0)).alias("gram_hits"),
             )
             .select(
                 "a",
                 "b",
                 F.element_at(
-                    F.array(F.lit("exact"), F.lit("sim"), F.lit("mh"), F.lit("gram")),
-                    F.col("det_pr") + 1,
+                    F.array(*[F.lit(d) for d in DETS]), F.col("det_pr") + 1
                 ).alias("det"),
                 "mh_hits",
                 "gram_hits",

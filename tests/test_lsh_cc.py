@@ -88,7 +88,7 @@ def test_candidate_pairs_explicit_partitioning(spark):
     norm, sigs = _norm_sig(spark, rows)
     bands = build_bands(norm, sigs)
     plan = candidate_pairs(bands, partitions=7)._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(det" in plan and ", 7)" in plan
+    assert "hashpartitioning(bkey" in plan and ", 7)" in plan
 
 
 def test_connected_components_known_graphs(spark):

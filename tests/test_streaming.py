@@ -191,7 +191,7 @@ def test_incremental_reads_prune_to_touched_buckets(spark, tmp_path):
         "simhash", simhash64_udf("norm_text")
     )
     bands = build_bands(prof, prof, detectors=inc.cfg.detectors).withColumn(
-        "bkt", F.pmod(F.col("band_hash"), F.lit(inc.n_buckets)).cast("int")
+        "bkt", F.pmod(F.col("bkey"), F.lit(inc.n_buckets)).cast("int")
     )
     touched = [r[0] for r in bands.select("bkt").distinct().collect()]
     pruned = set(inc.store.pruned_paths("band_index", touched))
