@@ -35,6 +35,26 @@ def simhash64_udf(norm: pd.Series) -> pd.Series:
     return pd.Series(R.simhash64_from_norm(norm.fillna("").tolist()), dtype="int64")
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("norm_text", T.StringType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+)
+def profile_udf(s: pd.Series) -> pd.DataFrame:
+    """FUSED normalize + simhash in one Arrow crossing. Chaining
+    normalize_udf -> simhash64_udf puts two DEPENDENT Python evals in the
+    plan (each row crosses JVM->Py->JVM twice); this computes both from
+    the raw text in a single batch with the identical kernels, so the
+    profile stage pays one crossing. Output values are bit-identical to
+    the chained form (same reference.py code path)."""
+    norm = s.fillna("").str.normalize("NFC").str.casefold().str.split().str.join(" ")
+    sig = pd.Series(R.simhash64_from_norm(norm.tolist()), dtype="int64")
+    return pd.DataFrame({"norm_text": norm, "simhash": sig})
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(norm: pd.Series) -> pd.Series:
     """NUM_PERM minhash values over char-5-shingles of normalized text."""

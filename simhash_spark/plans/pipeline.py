@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simhash_spark.config import EngineConfig
-from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
+from simhash_spark.functions.signatures import profile_udf
 from simhash_spark.operators.cc import assign_clusters, connected_components
 from simhash_spark.operators.lsh import build_bands, candidate_pairs
 from simhash_spark.operators.verify import verify_pairs
@@ -68,9 +68,12 @@ class DedupPipeline:
         sink = store.append_metric if cfg.collect_stats else None
 
         if not store.is_committed("profile"):
+            # fused normalize+simhash UDF: ONE Arrow crossing per row
+            # (chained normalize_udf -> simhash64_udf would be two
+            # dependent Python evals in the plan)
             profile = clips.select(
-                "clip_id", normalize_udf("transcript").alias("norm_text")
-            ).withColumn("simhash", simhash64_udf("norm_text"))
+                "clip_id", profile_udf("transcript").alias("p")
+            ).select("clip_id", "p.norm_text", "p.simhash")
             store.write("profile", profile)
         profile = store.read("profile")
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simhash_spark.config import EngineConfig
-from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
+from simhash_spark.functions.signatures import normalize_udf, profile_udf, simhash64_udf
 from simhash_spark.operators.lsh import DETS, build_bands, det_id_col
 from simhash_spark.operators.verify import verify_pairs
 from simhash_spark.sources.tableio import CheckpointStore
@@ -117,8 +117,8 @@ class IncrementalDedup:
 
         fresh = clips.join(seen, "clip_id", "left_anti")
         prof_new = (
-            fresh.select("clip_id", normalize_udf("transcript").alias("norm_text"))
-            .withColumn("simhash", simhash64_udf("norm_text"))
+            fresh.select("clip_id", profile_udf("transcript").alias("p"))
+            .select("clip_id", "p.norm_text", "p.simhash")
             .persist()
         )
         new_bands = (

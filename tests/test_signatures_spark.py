@@ -49,6 +49,25 @@ def test_simhash_udf_matches_reference(spark):
     assert got == want
 
 
+def test_profile_udf_matches_chained_form(spark):
+    """The fused normalize+simhash UDF must be bit-identical to the
+    chained normalize_udf -> simhash64_udf path (and include NUL-bearing
+    text — the round-2 factorize regression class)."""
+    from simhash_spark.functions.signatures import profile_udf
+
+    texts = _texts() + ["MIXED Case nbsp", "é combining acute", "0", "0\x00", None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = (
+        df.select(profile_udf("text").alias("p"))
+        .select("p.norm_text", "p.simhash")
+        .collect()
+    )
+    want_norm = [R.normalize_text(t) for t in texts]
+    want_sig = R.simhash64_from_norm(want_norm).tolist()
+    assert [r.norm_text for r in got] == want_norm
+    assert [r.simhash for r in got] == want_sig
+
+
 def test_minhash_udf_matches_reference(spark):
     texts = _texts()
     df = spark.createDataFrame([(t,) for t in texts], "text string")
