@@ -44,9 +44,13 @@ from simhash_spark.config import EngineConfig
 from simhash_spark.plans.pipeline import DedupPipeline
 
 cores = {cores}
+# 64g heap: all "executors" share ONE local JVM; 2 GiB/thread keeps GC
+# out of the measurement (a real cluster sizes per-executor heaps the
+# same way). ParallelGC comes from the session default.
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores * 2,
-                  extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)}})
+                  extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+                          "spark.driver.memory": "64g"}})
 # No repartition of the raw clips: that would shuffle the (pruned-away)
 # audio bytes; 32MB parquet splits give the scan its parallelism.
 clips = spark.read.parquet({clips_path!r})
@@ -164,7 +168,15 @@ def main() -> None:
         "ts": time.time(),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # the canonical N-vs-4N record lives in scaling.json (2->8/tmpfs, the
+    # documented single-box proxy); any other pair gets its own file so a
+    # diagnostic 8->32 run can never clobber the headline number.
+    name = (
+        "scaling.json"
+        if (args.low, args.high) == (2, 8)
+        else f"scaling-{args.low}to{args.high}-n{args.rows}{suffix}.json"
+    )
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
 

@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Throughput GC: this is a batch engine — long parallel stages,
+        # no latency SLO — and G1's concurrent cycles taxed every stage
+        # at 32 threads (measured at 500k rows/local[32]: whole pipeline
+        # 265 s -> 171 s just from UseParallelGC; same flag is what we'd
+        # ship in spark-submit --conf for batch clusters).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
