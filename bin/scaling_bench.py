@@ -60,9 +60,18 @@ pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=cores * 2))
 clusters = pipe.run(clips)
 n = clusters.count()
 wall = time.time() - t0
+# per-stage decomposition (each stage MANIFEST records its commit wall):
+# lets BASELINE.md attribute any efficiency loss to a specific stage
+# instead of hand-waving "memory bandwidth".
+import glob, os
+stage_walls = {{}}
+for m in glob.glob(os.path.join(ckpt, "*", "MANIFEST.json")):
+    d = json.load(open(m))
+    stage_walls[os.path.basename(os.path.dirname(m))] = round(d.get("wall_sec", 0.0), 1)
 shutil.rmtree(ckpt, ignore_errors=True)
 print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
-                               "rows_per_sec": n / wall}}))
+                               "rows_per_sec": n / wall,
+                               "stage_walls": stage_walls}}))
 """
 
 
