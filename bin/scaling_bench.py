@@ -47,10 +47,12 @@ cores = {cores}
 # 64g heap: all "executors" share ONE local JVM; 2 GiB/thread keeps GC
 # out of the measurement (a real cluster sizes per-executor heaps the
 # same way). ParallelGC comes from the session default.
+import os as _os
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores * 2,
                   extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
-                          "spark.driver.memory": "64g"}})
+                          "spark.driver.memory":
+                              _os.environ.get("SPARK_GRAFT_BENCH_MEM", "64g")}})
 # No repartition of the raw clips: that would shuffle the (pruned-away)
 # audio bytes; 32MB parquet splits give the scan its parallelism.
 clips = spark.read.parquet({clips_path!r})
