@@ -78,7 +78,20 @@ class DedupPipeline:
         profile = store.read("profile")
 
         if not store.is_committed("bands"):
-            bands = build_bands(profile, profile, detectors=cfg.detectors)
+            # Row-balanced repartition BEFORE the band branches: the
+            # profile checkpoint is short compressed text, so byte-based
+            # split sizing (maxPartitionBytes) yields far fewer tasks
+            # than cores once the per-row minhash/gram kernels dominate
+            # — measured at 2M rows/tmpfs the ~12 splits capped the
+            # whole stage at 12-way parallelism (bands wall ~240 s at 32
+            # cores ~= the largest straggler, not the core count). One
+            # explicit exchange costs O(profile) bytes and is REUSED by
+            # all four union branches (ReuseExchange — audited in
+            # BENCH/PLANS.md); task granularity then follows rows (CPU
+            # cost), not compressed bytes.
+            bands = build_bands(
+                profile.repartition(n_part), profile, detectors=cfg.detectors
+            )
             store.write("bands", bands)
         bands = store.read("bands")
         # per-detector band stats (rows, exact distinct hashes, hot groups)
