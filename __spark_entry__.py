@@ -590,6 +590,19 @@ def q_verified_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_overlap_span_pairs(spark, sf_dir):
+    """Suffix-array detector leg (north rule): pairs of documents sharing
+    a verbatim >= 64-char run, LOCALIZED — (overlap_len, off_a, off_b)
+    into the normalized texts via per-pair suffix-array + Kasai LCP on
+    gram-index candidates (simhash_spark/suffix.py). Rows-only: DuckDB
+    has no longest-common-substring; the kernel is oracle-checked in
+    pytest against difflib's exact longest-match (tests/test_suffix.py)."""
+    from simhash_spark.operators.overlap import overlap_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return overlap_span_pairs(d).orderBy("a", "b")
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal: synthetic WAV clips -> real numpy acoustic features
     via mapInPandas (sf_dir unused: clips are generated deterministically)."""
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
         "verified_hamming_pairs": q_verified_hamming_pairs,
+        "overlap_span_pairs": q_overlap_span_pairs,
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,

@@ -1,0 +1,124 @@
+"""Suffix-array kernels for the exact-substring detector leg.
+
+The north rule names three detectors: SimHash, MinHash+LSH, and
+*suffix-array exact-substring matching*.  Candidate generation for the
+substring leg is the winnowed gram inverted index
+(``reference.substring_grams`` — a global suffix array across 10^12 docs
+is not Spark-idiomatic, SURVEY.md §7.2/5); THIS module is the per-pair
+confirm kernel that runs on candidates only: a prefix-doubling suffix
+array + Kasai LCP over ``a <sep> b`` yields the longest common substring
+(length AND offsets), strictly more informative than the boolean
+``substring_contained`` tier — it localizes partial overlaps
+(contamination spans) that full-containment misses.
+
+All heavy steps are numpy (lexsort/cumsum); the only Python loop is
+Kasai's O(n)-amortized LCP walk, applied per capped candidate pair to
+transcript-sized strings inside an Arrow-batched pandas UDF
+(operators/overlap.py).  No Spark imports here — the kernel is
+unit-testable without a session (mirrors reference.py's layering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["suffix_array", "lcp_kasai", "longest_common_substring", "lcs_batch"]
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence by prefix doubling.
+
+    O(n log^2 n) with every pass a numpy lexsort + cumsum rank update;
+    early-exits once all ranks are distinct.  ``codes`` may contain any
+    int values (negatives fine — ranking is relative).
+    """
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n and rank[sa[-1]] != n - 1:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        sa = np.lexsort((key2, rank))
+        r1, r2 = rank[sa], key2[sa]
+        bump = np.empty(n, dtype=np.int64)
+        bump[0] = 0
+        bump[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[sa] = np.cumsum(bump)
+        rank = new_rank
+        k <<= 1
+    return sa.astype(np.int64)
+
+
+def lcp_kasai(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP array: ``lcp[i] = lcp(suffix sa[i-1], suffix sa[i])``,
+    ``lcp[0] = 0``.  O(n) amortized (the classic h-decrement argument)."""
+    n = len(codes)
+    lcp = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return lcp
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring(a: str, b: str) -> tuple[int, int, int]:
+    """(length, off_a, off_b) of the longest common substring of a and b.
+
+    Builds ONE suffix array over ``a + sep + b`` (sep = a codepoint value
+    outside both strings' range, so no common run can cross it) and takes
+    the max LCP between SA-adjacent suffixes from different sides.  Ties
+    resolve to the first maximum in suffix-array order (deterministic for
+    fixed inputs).  Returns (0, -1, -1) when either string is empty or
+    nothing is shared.
+    """
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return (0, -1, -1)
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.int32).astype(np.int64)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.int32).astype(np.int64)
+    codes = np.concatenate([ca, np.array([-1], dtype=np.int64), cb])
+    sa = suffix_array(codes)
+    lcp = lcp_kasai(codes, sa)
+    # side of each suffix start: A (< la), separator (== la), B (> la)
+    side_a = sa < la
+    side_sep = sa == la
+    cross = (side_a[1:] != side_a[:-1]) & ~side_sep[1:] & ~side_sep[:-1]
+    if not cross.any():
+        return (0, -1, -1)
+    cand = np.where(cross)[0] + 1  # lcp index of the adjacent pair
+    vals = lcp[cand]
+    best = cand[int(np.argmax(vals))]
+    length = int(lcp[best])
+    if length == 0:
+        return (0, -1, -1)
+    i, j = int(sa[best - 1]), int(sa[best])
+    if i > j:
+        i, j = j, i
+    return (length, i, j - la - 1)
+
+
+def lcs_batch(norms_a, norms_b) -> np.ndarray:
+    """Per-pair longest-common-substring over aligned sequences.
+
+    Returns an (n, 3) int64 array of (length, off_a, off_b) — the shape
+    consumed by operators/overlap.py's Arrow-batched verify UDF."""
+    out = np.empty((len(norms_a), 3), dtype=np.int64)
+    for k, (na, nb) in enumerate(zip(norms_a, norms_b)):
+        out[k] = longest_common_substring(na or "", nb or "")
+    return out
