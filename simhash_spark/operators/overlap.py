@@ -42,12 +42,20 @@ _SPAN_SCHEMA = T.StructType(
 
 
 @F.pandas_udf(_SPAN_SCHEMA)
-def lcs_span_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
+def _lcs_span(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
     """Longest common substring per pair -> (overlap_len, off_a, off_b)."""
     spans = lcs_batch(norm_a.fillna(""), norm_b.fillna(""))
     return pd.DataFrame(
         {"overlap_len": spans[:, 0], "off_a": spans[:, 1], "off_b": spans[:, 2]}
     )
+
+
+# asNondeterministic: the kernel IS deterministic, but without the marker
+# Catalyst collapses the span projection into the overlap_len filter and
+# runs the suffix-array UDF TWICE per pair (seen in .explain: two
+# ArrowEvalPython nodes over the same inputs). The marker forces one
+# evaluation; the filter runs on the materialized struct.
+lcs_span_udf = _lcs_span.asNondeterministic()
 
 
 def overlap_span_pairs(
@@ -71,20 +79,18 @@ def overlap_span_pairs(
     spark = docs.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # PERSIST: norm feeds gram generation AND two text re-joins; grams
-    # feed the sizing agg AND both sides of the self-join — without the
-    # persists every consumer re-runs the normalize/gram Arrow UDFs.
-    # Released by whoever materializes the result (track_persisted).
-    norm = (
-        docs.select(
-            F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("norm_text")
-        )
-        .filter(F.length("norm_text") >= min_len)
-        .persist()
-    )
+    # PERSIST (released via track_persisted by whoever materializes the
+    # result): norm feeds gram generation AND two text re-joins; caching
+    # BEFORE the length filter keeps Catalyst from pushing the filter
+    # under the projection and evaluating normalize_udf twice (the filter
+    # is then a JVM length() over the cached column).
+    norm = docs.select(
+        F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("norm_text")
+    ).persist()
+    eligible = norm.filter(F.length("norm_text") >= min_len)
 
     grams = (
-        norm.select("id", F.explode(substring_grams_udf("norm_text")).alias("gram"))
+        eligible.select("id", F.explode(substring_grams_udf("norm_text")).alias("gram"))
         .repartition(n_part, "gram")
         .persist()
     )
@@ -104,7 +110,9 @@ def overlap_span_pairs(
         )
     keep = counts.filter(F.col("grp_n").between(2, gram_cap)).select("gram")
 
-    kept = grams.join(keep, "gram")
+    # PERSIST kept: both sides of the self-join scan it — otherwise the
+    # sizing aggregation + keep join run once per side.
+    kept = grams.join(keep, "gram").persist()
     pairs = (
         kept.alias("x")
         .join(kept.alias("y"), "gram")
@@ -114,7 +122,7 @@ def overlap_span_pairs(
         .agg(F.count("*").alias("gram_hits"))
     )
 
-    texts = norm.select(F.col("id"), F.col("norm_text"))
+    texts = eligible.select(F.col("id"), F.col("norm_text"))
     with_texts = pairs.join(
         texts.select(F.col("id").alias("a"), F.col("norm_text").alias("norm_a")), "a"
     ).join(texts.select(F.col("id").alias("b"), F.col("norm_text").alias("norm_b")), "b")
@@ -125,4 +133,4 @@ def overlap_span_pairs(
         .select("a", "b", "gram_hits", "span.overlap_len", "span.off_a", "span.off_b")
         .filter(F.col("overlap_len") >= min_len)
     )
-    return track_persisted(out, [norm, grams])
+    return track_persisted(out, [norm, grams, kept])
