@@ -44,15 +44,17 @@ from simhash_spark.config import EngineConfig
 from simhash_spark.plans.pipeline import DedupPipeline
 
 cores = {cores}
-# 64g heap: all "executors" share ONE local JVM; 2 GiB/thread keeps GC
-# out of the measurement (a real cluster sizes per-executor heaps the
-# same way). ParallelGC comes from the session default.
+# 24g heap (the session default): the controlled 8-core A-B measured the
+# 2M pipeline at 1205 s with a 64 GiB heap vs 1092 s at 24 GiB (G1 both;
+# gc_sec 35.7 vs 7.1) — the oversized heap let executor-side state grow
+# past the cache-friendly range and taxed every shuffle stage. Env
+# override SPARK_GRAFT_BENCH_MEM for heap A-B runs.
 import os as _os
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores * 2,
                   extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
                           "spark.driver.memory":
-                              _os.environ.get("SPARK_GRAFT_BENCH_MEM", "64g")}})
+                              _os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")}})
 # No repartition of the raw clips: that would shuffle the (pruned-away)
 # audio bytes; 32MB parquet splits give the scan its parallelism.
 clips = spark.read.parquet({clips_path!r})
@@ -71,8 +73,14 @@ for m in glob.glob(os.path.join(ckpt, "*", "MANIFEST.json")):
     d = json.load(open(m))
     stage_walls[os.path.basename(os.path.dirname(m))] = round(d.get("wall_sec", 0.0), 1)
 shutil.rmtree(ckpt, ignore_errors=True)
+# JVM GC seconds over the whole run (driver JVM == all executors in
+# local mode): lets BASELINE.md separate GC tax from real compute when
+# comparing collector configs across core counts.
+beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+gc_sec = sum(beans.get(i).getCollectionTime() for i in range(beans.size())) / 1000.0
 print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
                                "rows_per_sec": n / wall,
+                               "gc_sec": round(gc_sec, 1),
                                "stage_walls": stage_walls}}))
 """
 

@@ -37,18 +37,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Throughput GC: this is a batch engine — long parallel stages,
-        # no latency SLO — and G1's concurrent cycles taxed every stage
-        # at 32 threads (measured at 500k rows/local[32]: whole pipeline
-        # 265 s -> 171 s just from UseParallelGC; same flag is what we'd
-        # ship in spark-submit --conf for batch clusters).
+        # G1 (the JVM default), explicitly: controlled A-B on the full
+        # 2M-row pipeline at local[8] measured ParallelGC 1356 s vs G1
+        # 1205 s (64g heap), and the standalone PPJoin query 114 s vs
+        # 41 s — the earlier ParallelGC reading did not reproduce under
+        # clean conditions. Overridable via SPARK_GRAFT_GC for A-B runs.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseG1GC"),
         )
         .config(
             "spark.executor.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseG1GC"),
         )
     )
     for k, v in (extra or {}).items():
