@@ -296,3 +296,141 @@ def check_passthrough(source_df, result_df, min_snr_db: float = 30.0):
         .filter((F.col("snr") < min_snr_db) | (~F.col("transcript_ok")))
         .select("clip_id", "snr", "transcript_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Payload transforms: resample / frame-sample / silence-trim
+# (training-data pipeline ops over the audio column — REAL numpy kernels;
+# each is a per-row mapInPandas with no shuffle, so at 10^12 rows the cost
+# is one Arrow-batched pass per partition)
+# ---------------------------------------------------------------------------
+
+
+def resample_linear(df, target_sr: int):
+    """Resample every clip's PCM to ``target_sr`` via linear interpolation
+    (np.interp — a real, deterministic resampler; quality caveat vs
+    windowed-sinc is documented, not stubbed). Returns the same schema
+    with bytes / sr_hz / dur_ms updated; all other columns pass through.
+    """
+    from simhash_spark.sources.synth import wav_bytes
+
+    cols = [f.name for f in df.schema.fields]
+
+    def op(batches):
+        for pdf in batches:
+            out_bytes, out_sr, out_dur = [], [], []
+            for raw in pdf["bytes"]:
+                sr, x = decode_wav(bytes(raw))
+                if sr == target_sr:
+                    y = x
+                else:
+                    n_out = max(1, int(round(len(x) * target_sr / sr)))
+                    t_out = np.arange(n_out, dtype=np.float64) * (len(x) - 1) / max(n_out - 1, 1)
+                    y = np.interp(t_out, np.arange(len(x), dtype=np.float64), x.astype(np.float64))
+                    y = np.clip(np.round(y), -32768, 32767).astype(np.int16)
+                out_bytes.append(wav_bytes(y, target_sr))
+                out_sr.append(target_sr)
+                out_dur.append(int(round(len(y) * 1000 / target_sr)))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            if "sr_hz" in pdf:
+                pdf["sr_hz"] = pd.Series(out_sr, index=pdf.index, dtype="int32")
+            if "dur_ms" in pdf:
+                pdf["dur_ms"] = pd.Series(out_dur, index=pdf.index, dtype="int32")
+            yield pdf[cols]
+
+    return df.mapInPandas(op, schema=df.schema)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t0_ms", T.IntegerType()),
+        T.StructField("samples", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def frame_samples(df, frame_ms: int = 25, hop_ms: int | None = None, max_frames: int = 64):
+    """Explode each clip into sampled PCM frames — the audio analog of
+    video frame-sampling for multimodal training pipelines.
+
+    Frames of ``frame_ms`` every ``hop_ms`` (default: non-overlapping);
+    if a clip yields more than ``max_frames``, frames are DETERMINISTICALLY
+    strided down to <= max_frames (uniform coverage, no randomness), so a
+    pathologically long clip cannot blow up the row count — the cap is the
+    same no-silent-surprise bound the LSH stages use, applied row-local.
+    Output: (clip_id, frame_idx, t0_ms, samples float[-1, 1]).
+    """
+    hop = hop_ms if hop_ms is not None else frame_ms
+
+    def op(batches):
+        for pdf in batches:
+            ids, idxs, t0s, frames = [], [], [], []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                sr, x = decode_wav(bytes(raw))
+                flen = max(1, int(sr * frame_ms / 1000))
+                fhop = max(1, int(sr * hop / 1000))
+                starts = np.arange(0, max(len(x) - flen + 1, 1), fhop)
+                if len(starts) > max_frames:
+                    stride = int(np.ceil(len(starts) / max_frames))
+                    starts = starts[::stride]
+                for k, s0 in enumerate(starts):
+                    ids.append(cid)
+                    idxs.append(k)
+                    t0s.append(int(s0 * 1000 / sr))
+                    frames.append((x[s0 : s0 + flen].astype(np.float32) / 32768.0))
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "t0_ms": pd.Series(t0s, dtype="int32"),
+                    "samples": frames,
+                }
+            )
+
+    return df.select("clip_id", "bytes").mapInPandas(op, schema=_FRAME_SCHEMA)
+
+
+def trim_silence(df, threshold_db: float = -40.0):
+    """Trim leading/trailing silence (|x| below ``threshold_db`` dBFS).
+    Returns the input schema plus trimmed_lead_ms / trimmed_tail_ms; a
+    fully-silent clip keeps one sample (never emits empty PCM). bytes /
+    dur_ms are updated; transcript and everything else pass through."""
+    from simhash_spark.sources.synth import wav_bytes
+
+    cols = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("trimmed_lead_ms", T.IntegerType()),
+            T.StructField("trimmed_tail_ms", T.IntegerType()),
+        ]
+    )
+    amp = 32767.0 * (10.0 ** (threshold_db / 20.0))
+
+    def op(batches):
+        for pdf in batches:
+            out_bytes, out_dur, lead, tail = [], [], [], []
+            for raw in pdf["bytes"]:
+                sr, x = decode_wav(bytes(raw))
+                above = np.nonzero(np.abs(x.astype(np.float64)) >= amp)[0]
+                if len(above) == 0:
+                    i0, i1 = 0, 1
+                else:
+                    i0, i1 = int(above[0]), int(above[-1]) + 1
+                y = x[i0:i1]
+                out_bytes.append(wav_bytes(y, sr))
+                out_dur.append(int(round(len(y) * 1000 / sr)))
+                lead.append(int(i0 * 1000 / sr))
+                tail.append(int((len(x) - i1) * 1000 / sr))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            if "dur_ms" in pdf:
+                pdf["dur_ms"] = pd.Series(out_dur, index=pdf.index, dtype="int32")
+            pdf["trimmed_lead_ms"] = pd.Series(lead, index=pdf.index, dtype="int32")
+            pdf["trimmed_tail_ms"] = pd.Series(tail, index=pdf.index, dtype="int32")
+            yield pdf[cols + ["trimmed_lead_ms", "trimmed_tail_ms"]]
+
+    return df.mapInPandas(op, schema=out_schema)
