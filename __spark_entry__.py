@@ -28,6 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from simhash_spark.util import release_persisted
+
+
+def _track(df: DataFrame, src: DataFrame) -> DataFrame:
+    """Carry ``src``'s track_persisted deps onto a derived frame."""
+    df._persisted_deps = getattr(src, "_persisted_deps", [])
+    return df
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -488,15 +496,27 @@ def q_simhash_signatures(spark, sf_dir):
 
 
 def q_minhash_bands(spark, sf_dir):
+    """ORACLE-CHECKED structure of the MinHash banding output (VERDICT r3
+    #4b): the band-hash VALUES have no relational recomputation, but the
+    banding CONTRACT does — exactly BANDS=32 rows per document, band_id a
+    permutation of 0..31, every doc_id a real documents row, no document
+    missing. The exploded band table is materialized to a side parquet;
+    DuckDB re-asserts the contract over the same file (a structural break
+    — dropped doc, duplicated band, range escape — drops rows and fails
+    the hash compare). Value-level banding semantics stay pinned by the
+    golden vectors + pigeonhole pytest (tests/test_signatures_spark.py,
+    tests/test_lsh_cc.py)."""
     from simhash_spark.functions.signatures import minhash_bands_udf, normalize_udf
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    bands = d.select(
         "doc_id",
         F.posexplode(minhash_bands_udf(normalize_udf(F.col("text")))).alias(
             "band_id", "band_hash"
         ),
     )
+    bands.write.mode("overwrite").parquet(_BANDS_AUDIT_PATH)
+    return spark.read.parquet(_BANDS_AUDIT_PATH)
 
 
 def q_doc_dup_clusters(spark, sf_dir):
@@ -511,13 +531,16 @@ def q_verified_dup_pairs(spark, sf_dir):
     return pipe.store.read("verified_pairs").select("a", "b", "det", "method")
 
 
-# side parquet the hamming-tier oracle reads: the Spark query materializes
-# (candidate pair, sig_a, sig_b) here BEFORE the gate runs the DuckDB SQL
-# (the gate collects the Spark result first), so both engines apply the
-# tier rule to the same rows. Fixed path: overwritten per call, and the
-# oracle always runs against the file the immediately-preceding Spark
-# call wrote.
-_HAMMING_AUDIT_PATH = "/tmp/simhash-oracle-side/hamming_audit.parquet"
+# side parquet the side-table oracles read: a Spark query materializes an
+# audit table here BEFORE the gate runs the DuckDB SQL (the gate collects
+# the Spark result first), so both engines apply the same rule to the same
+# rows. Per-PROCESS path (pid-suffixed, VERDICT r3 #7): two concurrent
+# gate runs each get their own directory, and oracle_sql() interpolates
+# the same per-process value the queries wrote.
+_SIDE_DIR = os.path.join(tempfile.gettempdir(), f"simhash-oracle-side-{os.getpid()}")
+_HAMMING_AUDIT_PATH = os.path.join(_SIDE_DIR, "hamming_audit.parquet")
+_OVERLAP_AUDIT_PATH = os.path.join(_SIDE_DIR, "overlap_audit.parquet")
+_BANDS_AUDIT_PATH = os.path.join(_SIDE_DIR, "bands_audit.parquet")
 
 
 def q_verified_hamming_pairs(spark, sf_dir):
@@ -591,16 +614,32 @@ def q_verified_jaccard_pairs(spark, sf_dir):
 
 
 def q_overlap_span_pairs(spark, sf_dir):
-    """Suffix-array detector leg (north rule): pairs of documents sharing
-    a verbatim >= 64-char run, LOCALIZED — (overlap_len, off_a, off_b)
-    into the normalized texts via per-pair suffix-array + Kasai LCP on
-    gram-index candidates (simhash_spark/suffix.py). Rows-only: DuckDB
-    has no longest-common-substring; the kernel is oracle-checked in
-    pytest against difflib's exact longest-match (tests/test_suffix.py)."""
+    """ORACLE-CHECKED suffix-array detector leg (north rule + VERDICT r3
+    #4a): pairs of documents sharing a verbatim >= 64-char run, LOCALIZED
+    — (overlap_len, off_a, off_b) into the normalized texts via per-pair
+    suffix-array + Kasai LCP on gram-index candidates
+    (simhash_spark/suffix.py). DuckDB has no longest-common-substring,
+    but the span CLAIM is relational: both normalized texts are
+    materialized next to each span in a side parquet, and the oracle
+    re-asserts substr(norm_a, off_a+1, len) == substr(norm_b, off_b+1,
+    len) AND len >= 64 over the same file — a wrong offset/length drops
+    the row and fails the compare. MAXIMALITY (longest) stays pinned by
+    the difflib-oracled kernel pytest (tests/test_suffix.py)."""
+    from simhash_spark.functions.signatures import normalize_udf
     from simhash_spark.operators.overlap import overlap_span_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return overlap_span_pairs(d).orderBy("a", "b")
+    spans = overlap_span_pairs(d)
+    nt = d.select(F.col("doc_id").alias("id"), normalize_udf("text").alias("nt"))
+    audit = spans.join(
+        nt.select(F.col("id").alias("a"), F.col("nt").alias("norm_a")), "a"
+    ).join(nt.select(F.col("id").alias("b"), F.col("nt").alias("norm_b")), "b")
+    audit = _track(audit, spans)  # carry spans' persisted deps to the write
+    audit.write.mode("overwrite").parquet(_OVERLAP_AUDIT_PATH)
+    release_persisted(audit)
+    return spark.read.parquet(_OVERLAP_AUDIT_PATH).select(
+        "a", "b", "overlap_len", "off_a", "off_b"
+    )
 
 
 def q_audio_features(spark, sf_dir):
@@ -767,13 +806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_setops": q_doc_setops,
         "token_count_regex": q_token_count_regex,
         "verified_jaccard_pairs": q_verified_jaccard_pairs,
-        # Spark-only (rows-only check):
-        "simhash_signatures": q_simhash_signatures,
         "minhash_bands": q_minhash_bands,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "verified_dup_pairs": q_verified_dup_pairs,
         "verified_hamming_pairs": q_verified_hamming_pairs,
         "overlap_span_pairs": q_overlap_span_pairs,
+        # Spark-only (rows-only check):
+        "simhash_signatures": q_simhash_signatures,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "verified_dup_pairs": q_verified_dup_pairs,
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
@@ -944,6 +983,28 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
             FROM read_parquet('{_HAMMING_AUDIT_PATH}/*.parquet')
             WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        """,
+        "minhash_bands": f"""
+            WITH b AS (SELECT * FROM read_parquet('{_BANDS_AUDIT_PATH}/*.parquet')),
+                 ok AS (
+                   SELECT doc_id FROM b GROUP BY doc_id
+                   HAVING count(*) = 32 AND count(DISTINCT band_id) = 32
+                      AND min(band_id) = 0 AND max(band_id) = 31),
+                 cover AS (
+                   -- TRUE iff the band table covers exactly the documents ids
+                   SELECT (SELECT count(*) FROM ok) = (SELECT count(*) FROM documents)
+                      AND (SELECT count(*) FROM ok JOIN documents USING (doc_id))
+                          = (SELECT count(*) FROM documents) AS full_cover)
+            SELECT b.doc_id, b.band_id, b.band_hash
+            FROM b JOIN ok USING (doc_id), cover
+            WHERE cover.full_cover
+        """,
+        "overlap_span_pairs": f"""
+            SELECT a, b, overlap_len, off_a, off_b
+            FROM read_parquet('{_OVERLAP_AUDIT_PATH}/*.parquet')
+            WHERE overlap_len >= 64
+              AND substr(norm_a, off_a::INTEGER + 1, overlap_len::INTEGER)
+                  = substr(norm_b, off_b::INTEGER + 1, overlap_len::INTEGER)
         """,
         "verified_jaccard_pairs": f"""
             WITH base AS (

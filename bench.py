@@ -5,10 +5,18 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 signature+LSH throughput on a deterministic synthetic clips corpus
 (clips/sec — the north-rule throughput metric).
 
+Measurement protocol (VERDICT r3 #5 — the r3 driver reading was a 3.2x
+cold/contended artifact): every headline query gets ONE untimed warm-up
+pass (JIT + Python-worker pool + page cache), then the reported number is
+the MEDIAN OF 3 timed runs; the clips stage warms the UDF path on a small
+corpus before the timed full-size run, and BENCH_CLIPS_N defaults to
+200k so throughput is not startup-dominated.
+
 Extra env knobs:
   SPARK_GRAFT_SF_DIR     testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS       cores for local[] master (default 32)
-  BENCH_CLIPS_N          synthetic clips rows (default 50000)
+  BENCH_CLIPS_N          synthetic clips rows (default 200000)
+  BENCH_REPEATS          timed repeats per query (default 3, median)
   BENCH_SKIP_CLIPS=1     skip the clips-throughput section
 """
 
@@ -25,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CLIPS_N = int(os.environ.get("BENCH_CLIPS_N", "50000"))
+CLIPS_N = int(os.environ.get("BENCH_CLIPS_N", "200000"))
+REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
 CLIPS_CACHE = os.environ.get("BENCH_CLIPS_CACHE", "/tmp/simhash-bench-clips")
 
 HEADLINE = [
@@ -56,9 +65,10 @@ def _clips_parquet(n: int) -> str:
     return os.path.join(path, "clips.parquet")
 
 
-def clips_throughput(spark, n: int) -> dict:
+def clips_throughput(spark, n: int, warm: bool = False) -> dict:
     """Signature+LSH stage throughput: normalize -> simhash+minhash bands +
-    grams -> candidate pairs (materialized via count)."""
+    grams -> candidate pairs (materialized via count). ``warm=True`` runs
+    the same path as an untimed warm-up (small n)."""
     from pyspark.sql import functions as F
 
     from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
@@ -107,11 +117,23 @@ def main() -> None:
     total = 0.0
     from simhash_spark.util import releasing
 
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
+        if name == "doc_dup_clusters":
+            # pipeline-backed query resumes from its shared checkpoint —
+            # drop it so every run (warm-up and timed) recomputes all
+            # stages instead of re-reading committed parquet.
+            ckpt = E._PIPE_CKPTS.pop(SF_DIR, None)
+            if ckpt:
+                shutil.rmtree(ckpt, ignore_errors=True)
         t0 = time.time()
         with releasing(qs[name](spark, SF_DIR)) as df:
             df.count()  # materialize the full plan
-        dt = time.time() - t0
+        return time.time() - t0
+
+    for name in HEADLINE:
+        run_once(name)  # untimed warm-up (JIT, Py workers, page cache)
+        times = sorted(run_once(name) for _ in range(REPEATS))
+        dt = times[len(times) // 2]  # median
         per_query[name] = round(dt, 3)
         total += dt
 
@@ -125,6 +147,8 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SKIP_CLIPS") != "1":
+        # warm the UDF/worker path on a small corpus, then time full-size
+        clips_throughput(spark, min(20_000, CLIPS_N), warm=True)
         result["clips_sig_lsh"] = clips_throughput(spark, CLIPS_N)
 
     print(json.dumps(result))

@@ -321,7 +321,12 @@ def resample_linear(df, target_sr: int):
             out_bytes, out_sr, out_dur = [], [], []
             for raw in pdf["bytes"]:
                 sr, x = decode_wav(bytes(raw))
-                if sr == target_sr:
+                if len(x) == 0:
+                    # empty PCM: np.interp would raise on an empty xp; emit
+                    # one zero sample (the never-empty-PCM invariant
+                    # trim_silence's all-silent path already keeps).
+                    y = np.zeros(1, dtype=np.int16)
+                elif sr == target_sr:
                     y = x
                 else:
                     n_out = max(1, int(round(len(x) * target_sr / sr)))
@@ -361,7 +366,10 @@ def frame_samples(df, frame_ms: int = 25, hop_ms: int | None = None, max_frames:
     strided down to <= max_frames (uniform coverage, no randomness), so a
     pathologically long clip cannot blow up the row count — the cap is the
     same no-silent-surprise bound the LSH stages use, applied row-local.
-    Output: (clip_id, frame_idx, t0_ms, samples float[-1, 1]).
+    Output: (clip_id, frame_idx, t0_ms, samples float[-1, 1]);
+    ``frame_idx`` is the ORIGINAL pre-stride frame position (stable across
+    different ``max_frames`` settings — joins on it stay aligned), so after
+    capping the emitted indices are a strided subset, not 0..n.
     """
     hop = hop_ms if hop_ms is not None else frame_ms
 
@@ -373,10 +381,12 @@ def frame_samples(df, frame_ms: int = 25, hop_ms: int | None = None, max_frames:
                 flen = max(1, int(sr * frame_ms / 1000))
                 fhop = max(1, int(sr * hop / 1000))
                 starts = np.arange(0, max(len(x) - flen + 1, 1), fhop)
+                orig_idx = np.arange(len(starts))
                 if len(starts) > max_frames:
                     stride = int(np.ceil(len(starts) / max_frames))
                     starts = starts[::stride]
-                for k, s0 in enumerate(starts):
+                    orig_idx = orig_idx[::stride]
+                for k, s0 in zip(orig_idx.tolist(), starts):
                     ids.append(cid)
                     idxs.append(k)
                     t0s.append(int(s0 * 1000 / sr))
@@ -415,6 +425,10 @@ def trim_silence(df, threshold_db: float = -40.0):
             out_bytes, out_dur, lead, tail = [], [], [], []
             for raw in pdf["bytes"]:
                 sr, x = decode_wav(bytes(raw))
+                if len(x) == 0:
+                    # empty PCM: x[0:1] would be empty and the tail math
+                    # negative — emit one zero sample, nothing trimmed.
+                    x = np.zeros(1, dtype=np.int16)
                 above = np.nonzero(np.abs(x.astype(np.float64)) >= amp)[0]
                 if len(above) == 0:
                     i0, i1 = 0, 1

@@ -533,14 +533,30 @@ class SimHashClassifier:
                     }
                 )
 
-            parts = encoded.mapInPandas(sgd_pass, schema=grad_schema).collect()
-            n = sum(r["n"] for r in parts) or 1
-            dW = sum(
-                r["n"] * np.frombuffer(r["g"], dtype=np.float64).reshape(W.shape)
-                for r in parts
+            # treeAggregate (depth 2, VERDICT r3 #6): each partition emits
+            # ONE (n_cols x n_labels) weight-delta blob; summing them on
+            # executors first means the driver receives a single summed
+            # delta instead of O(partitions x labels) bytes — at 10^4+
+            # labels and hundreds of partitions the old .collect() was a
+            # driver bandwidth/OOM choke.
+            w_shape, b_shape = W.shape, b.shape
+
+            def _seq(acc, row, w_shape=w_shape):
+                dw, db, n, c = acc
+                g = np.frombuffer(row["g"], dtype=np.float64).reshape(w_shape)
+                gb = np.frombuffer(row["gb"], dtype=np.float64)
+                return (dw + row["n"] * g, db + row["n"] * gb, n + row["n"], c + row["correct"])
+
+            def _comb(x, y):
+                return (x[0] + y[0], x[1] + y[1], x[2] + y[2], x[3] + y[3])
+
+            zero = (np.zeros(w_shape), np.zeros(b_shape), 0, 0)
+            dW, db, n, correct = (
+                encoded.mapInPandas(sgd_pass, schema=grad_schema)
+                .rdd.treeAggregate(zero, _seq, _comb, depth=2)
             )
-            db = sum(r["n"] * np.frombuffer(r["gb"], dtype=np.float64) for r in parts)
-            train_acc = sum(r["correct"] for r in parts) / n
+            n = n or 1
+            train_acc = correct / n
             self.W = W + dW / n
             self.b = b + db / n
 
@@ -577,9 +593,14 @@ class SimHashClassifier:
                     {"n": [len(y)], "correct": [int((p.argmax(axis=1) == y).sum())]}
                 )
 
-        parts = encoded.mapInPandas(acc_pass, schema=schema).collect()
-        n = sum(r["n"] for r in parts) or 1
-        return sum(r["correct"] for r in parts) / n
+        # JVM-side sum: one aggregated row reaches the driver, not one per
+        # partition (same driver-choke fix as fit's treeAggregate).
+        r = (
+            encoded.mapInPandas(acc_pass, schema=schema)
+            .agg(F.sum("n").alias("n"), F.sum("correct").alias("correct"))
+            .first()
+        )
+        return (r["correct"] or 0) / ((r["n"] or 0) or 1)
 
     # -- K1: atomic model save/load --------------------------------------
     def save(self, path: str) -> None:

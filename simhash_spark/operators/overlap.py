@@ -24,6 +24,8 @@ broadcast of anything row-scale, no driver-side loop, no cartesian.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
@@ -75,9 +77,26 @@ def overlap_span_pairs(
     positions of which 1-in-GRAM_STRIDE is emitted — miss probability
     (1 - 1/8)^49 ~ 0.14% at the 64-char default, vanishing for longer
     spans.  The confirm itself is exact (suffix-array LCS).
+
+    BLIND SPOT (by design, logged): a span shared verbatim by MORE THAN
+    ``gram_cap`` docs has all of its grams hot, so every pair sharing
+    only that span is dropped with the hot grams — widely-replicated
+    boilerplate is deliberately not pairwise-enumerated (it would be
+    O(multiplicity^2)). Such spans are exactly what the drop metric
+    counts; handle them with the exact/star-edge detectors, or raise
+    ``gram_cap``. When no ``metrics_sink`` is passed, drops are logged
+    via ``logging`` (never silent).
     """
     spark = docs.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if metrics_sink is None:
+        # visible-by-default drop accounting (module contract: hot grams
+        # are dropped WITH a metrics row, never silently).
+        log = logging.getLogger(__name__)
+
+        def metrics_sink(name, value, **kw):  # noqa: ANN001
+            if value:
+                log.warning("overlap %s=%s %s", name, value, kw)
 
     # PERSIST (released via track_persisted by whoever materializes the
     # result): norm feeds gram generation AND two text re-joins; caching
