@@ -76,8 +76,18 @@ MINHASH_EMPTY = MINHASH_PRIME
 #: RNG seed for the minhash permutation parameters (a_i, b_i).
 MINHASH_SEED = 0x51_AB_5EED
 
-#: Personalization prefix for the stable 64-bit feature hash (blake2b).
+#: Personalization prefix for the stable 64-bit feature hash (blake2b) —
+#: since the span-poly-v2 hash took over the dedup-signature path, this
+#: only feeds the ML/SDR encoder (reference.sdr_encode, ml._encode_bits),
+#: whose reference-sample parity bar is pinned to blake2b values.
 HASH_PERSON = b"simhash-spark-v1"
+
+#: Feature-hash algorithm for the dedup signature path (simhash features,
+#: minhash shingles, substring grams): position-independent polynomial
+#: span hash over (codepoint+1) with splitmix64 finalizer
+#: (reference.py `_span_hash`). Changing this invalidates golden vectors
+#: (regenerate with bin/regen_golden.py) and every signature checkpoint.
+FEATURE_HASH = "span-poly-v2"
 
 #: SDR-parity mode (reference defaults, used only by parity tests):
 SDR_SIZE = 600
@@ -146,6 +156,7 @@ SEMANTICS = {
     "minhash_prime": MINHASH_PRIME,
     "minhash_seed": MINHASH_SEED,
     "hash_person": HASH_PERSON.decode(),
+    "feature_hash": FEATURE_HASH,
     # band-table layout: one packed long key det(2b)|band_id(5b)|hash(57b)
     # (operators/lsh.py). Checkpoints written under the unpacked
     # (det, band_id, band_hash) layout refuse to resume.

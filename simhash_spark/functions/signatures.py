@@ -76,7 +76,10 @@ def substring_grams_udf(norm: pd.Series) -> pd.Series:
     """Content-sampled gram ids for the substring detector's inverted
     index. Returned as signed int64 (two's-complement of uint64 ids)."""
     return pd.Series(
-        [R.substring_grams(t).astype("int64").tolist() for t in norm.fillna("")]
+        [
+            a.astype("int64").tolist()
+            for a in R.substring_grams_batch(norm.fillna("").tolist())
+        ]
     )
 
 

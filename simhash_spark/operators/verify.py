@@ -48,6 +48,13 @@ def verify_pairs(
 
     ``profile``: (clip_id, norm_text, simhash)."""
     sigs = profile.select("clip_id", "simhash")
+    # PERSIST (VERDICT r3 #1): tier01 AND rest both consume this
+    # two-sided sig join; uncached, the pair table crossed the two
+    # biggest shuffles TWICE (once per branch of the output union —
+    # ReuseExchange only saves the exchange, not the merge-join +
+    # filter re-execution). Cached rows are narrow: pair attrs + two
+    # 8-byte sigs. Released by whoever materializes the result
+    # (track_persisted contract).
     joined = (
         pairs.join(
             sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")), "a"
@@ -56,6 +63,7 @@ def verify_pairs(
             sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")), "b"
         )
         .withColumn("hamming", hamming_col("sig_a", "sig_b"))
+        .persist()
     )
 
     tier01 = joined.filter(
@@ -112,6 +120,6 @@ def verify_pairs(
     )
 
     out = tier01.unionByName(jac_pass).unionByName(sub_pass)
-    # cand/jac stay cached until the caller materializes the result
-    # (CheckpointStore.write releases them).
-    return track_persisted(out, [cand, jac])
+    # joined/cand/jac stay cached until the caller materializes the
+    # result (CheckpointStore.write releases them).
+    return track_persisted(out, [joined, cand, jac])

@@ -114,6 +114,149 @@ def hash64_batch(features: Sequence[str]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Vectorized feature hashing (v2 — the dedup-signature hot path)
+#
+# The v1 path hashed every unique feature STRING with a per-string
+# hashlib.blake2b call (plus per-row Python slicing to materialize the
+# shingle strings) — measured as the dominant cost of the bands stage at
+# 2M rows (VERDICT r3 #3). v2 never materializes a feature string: each
+# batch's normalized texts are flattened into ONE codepoint array
+# (a single C-level utf-32 encode), and every feature — char k-gram or
+# whitespace token — is a (start, end) SPAN hashed with a position-
+# independent polynomial over (codepoint+1) values, finalized with
+# splitmix64:
+#
+#   S[t]   = sum_{u<t} (c[u]+1) * Minv^u      (prefix sums, uint64 wrap)
+#   h(i,j) = mix64( (S[j]-S[i]) * M^i  ^  (j-i)*LEN_MIX )
+#
+# M odd => invertible mod 2^64, so (S[j]-S[i])*M^i depends only on the
+# span's characters relative to its start: equal strings hash equal at
+# any position/row, exactly the contract the string hash had. Identical
+# ids across feature kinds (a 3-char token vs a char-3 shingle of the
+# same text) still collapse, preserving v1's feature-map semantics.
+#
+# Changing the feature hash changes signature VALUES: the pinned
+# semantics fingerprint carries feature_hash="span-poly-v2" and the
+# golden vectors are regenerated by bin/regen_golden.py (documented
+# procedure). The ML/SDR path (sdr_encode, ml._encode_bits) deliberately
+# stays on blake2b/hash64_batch — its reference-sample parity bar is
+# pinned to those values.
+# ---------------------------------------------------------------------------
+
+_POLY_M = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+_POLY_MINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_LEN_MIX = np.uint64(0xD1B54A32D192ED03)
+
+
+#: codepoints per internal processing chunk. The vectorized span path is
+#: ~5x FASTER on bounded chunks than on one huge batch: per-chunk
+#: temporaries are same-sized, so the allocator reuses warm pages instead
+#: of faulting fresh ones (measured 20k-row batches: 514 rows/s unchunked
+#: -> 6,200 rows/s at ~1k-row chunks — the superlinear collapse was
+#: page-fault churn on tens of fresh multi-MB arrays, not compute).
+_CHUNK_CP = 300_000
+
+
+def _chunk_bounds(norms: Sequence[str], target_cp: int = _CHUNK_CP) -> list[tuple[int, int]]:
+    """Row ranges [(r0, r1), ...] of ~target_cp total codepoints each."""
+    bounds: list[tuple[int, int]] = []
+    r0, acc = 0, 0
+    for i, t in enumerate(norms):
+        acc += len(t) + 1
+        if acc >= target_cp and i + 1 > r0:
+            bounds.append((r0, i + 1))
+            r0, acc = i + 1, 0
+    if r0 < len(norms) or not bounds:
+        bounds.append((r0, len(norms)))
+    return bounds
+
+
+def _flatten_norms(norms: Sequence[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch of normalized texts -> (codepoints, row_start, lens) where
+    rows are separated by one NUL codepoint (spans never bridge rows:
+    every span generator below stays inside [row_start, row_start+len)).
+    ONE Python-level encode for the whole batch."""
+    n = len(norms)
+    lens = np.fromiter((len(t) for t in norms), dtype=np.int64, count=n)
+    joined = "\x00".join(norms)
+    c = (
+        np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        if joined
+        else np.empty(0, dtype=np.uint32)
+    )
+    row_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=row_start[1:])  # row i at [row_start[i], +lens[i])
+    return c, row_start[:-1], lens
+
+
+def _span_prefix(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Prefix arrays for O(1)-per-span hashing: S (len n+1) and pw=M^i."""
+    n = len(c)
+    pw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = 1
+    np.cumprod(np.full(n, _POLY_M, dtype=np.uint64), out=pw[1:])
+    pinv = np.empty(n, dtype=np.uint64)
+    if n:
+        pinv[0] = 1
+        np.cumprod(np.full(n - 1, _POLY_MINV, dtype=np.uint64), out=pinv[1:])
+    S = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum((c.astype(np.uint64) + np.uint64(1)) * pinv, out=S[1:])
+    return S, pw
+
+
+def _span_hash(
+    S: np.ndarray, pw: np.ndarray, i: np.ndarray, j: np.ndarray
+) -> np.ndarray:
+    """Position-independent hash of spans [i, j) -> uint64 ids."""
+    base = (S[j] - S[i]) * pw[i]
+    return _mix64(base ^ ((j - i).astype(np.uint64) * _LEN_MIX))
+
+
+def _kgram_spans(
+    row_start: np.ndarray, lens: np.ndarray, k: int, whole_if_short: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row char-k-gram spans -> (row_idx, i, j).
+
+    whole_if_short=True reproduces char_shingles: a nonempty row shorter
+    than k yields ONE whole-row span. False reproduces substring_grams:
+    rows shorter than k yield nothing."""
+    if whole_if_short:
+        n_spans = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    else:
+        n_spans = np.maximum(lens - k + 1, 0)
+    total = int(n_spans.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_spans)
+    ends = np.cumsum(n_spans)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(ends - n_spans, n_spans)
+    i = row_start[row_idx] + offs
+    j = i + np.minimum(lens, k)[row_idx]
+    return row_idx, i, j
+
+
+def _token_spans(
+    c: np.ndarray, row_start: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whitespace-token spans over the flat array -> (row_idx, i, j).
+    Tokens are maximal runs of chars that are neither ' ' nor the NUL row
+    separator (normalized text is single-space separated)."""
+    nb = (c != np.uint32(32)) & (c != np.uint32(0))
+    if not nb.any():
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    start_mask = nb.copy()
+    start_mask[1:] = nb[1:] & ~nb[:-1]
+    end_mask = nb.copy()
+    end_mask[:-1] = nb[:-1] & ~nb[1:]
+    i = np.flatnonzero(start_mask)
+    j = np.flatnonzero(end_mask) + 1
+    row_idx = np.searchsorted(row_start, i, side="right") - 1
+    return row_idx, i, j
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit, feature-weight bit-voting, sign threshold)
 # ---------------------------------------------------------------------------
 
@@ -165,18 +308,44 @@ def simhash_features(norm_text: str) -> dict[str, int]:
 
 
 def simhash64_from_norm(norms: Sequence[str]) -> np.ndarray:
-    """64-bit SimHash signatures for ALREADY-normalized texts -> int64."""
-    flat_feats: list[str] = []
-    flat_w: list[int] = []
-    row_starts = np.zeros(len(norms) + 1, dtype=np.int64)
-    for i, nt in enumerate(norms):
-        feats = simhash_features(nt)
-        flat_feats.extend(feats.keys())
-        flat_w.extend(feats.values())
-        row_starts[i + 1] = len(flat_feats)
-    hashes = hash64_batch(flat_feats)
-    weights = np.asarray(flat_w, dtype=np.int64)
-    return _simhash_from_hashed(hashes, weights, row_starts, len(norms))
+    """64-bit SimHash signatures for ALREADY-normalized texts -> int64.
+
+    v2 vectorized: features (word tokens ∪ char-3-shingles, weight =
+    occurrence count — simhash_features semantics) are SPANS of the
+    batch's flat codepoint array hashed with the position-independent
+    span hash; the per-row (id -> count) map is one lexsort + run-length
+    pass. No per-row Python, no string materialization. Processed in
+    ~_CHUNK_CP-codepoint chunks (allocator warm-page reuse; results are
+    per-row, so chunking is value-exact)."""
+    bounds = _chunk_bounds(norms)
+    if len(bounds) > 1:
+        return np.concatenate(
+            [_simhash64_chunk(norms[r0:r1]) for r0, r1 in bounds]
+        )
+    return _simhash64_chunk(norms)
+
+
+def _simhash64_chunk(norms: Sequence[str]) -> np.ndarray:
+    n = len(norms)
+    c, row_start, lens = _flatten_norms(norms)
+    S, pw = _span_prefix(c)
+    trow, ti, tj = _token_spans(c, row_start)
+    grow, gi, gj = _kgram_spans(row_start, lens, C.CHAR_SHINGLE_K, True)
+    rows = np.concatenate([trow, grow])
+    ids = np.concatenate([_span_hash(S, pw, ti, tj), _span_hash(S, pw, gi, gj)])
+    row_starts = np.zeros(n + 1, dtype=np.int64)
+    if len(ids) == 0:
+        return _simhash_from_hashed(
+            np.empty(0, np.uint64), np.empty(0, np.int64), row_starts, n
+        )
+    order = np.lexsort((ids, rows))
+    rs, hs = rows[order], ids[order]
+    new = np.ones(len(rs), dtype=bool)
+    new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    uniq_rows, uniq_ids = rs[new], hs[new]
+    weights = np.diff(np.append(np.flatnonzero(new), len(rs)))  # run lengths
+    np.cumsum(np.bincount(uniq_rows, minlength=n), out=row_starts[1:])
+    return _simhash_from_hashed(uniq_ids, weights.astype(np.int64), row_starts, n)
 
 
 def simhash64_batch(texts: Iterable[str | None]) -> np.ndarray:
@@ -207,30 +376,45 @@ _P31 = np.uint64(C.MINHASH_PRIME)
 
 def shingle_ids(norm_text: str) -> np.ndarray:
     """Distinct char-5-shingle ids in [0, MINHASH_PRIME) -> uint64 array."""
-    shs = char_shingles(norm_text, C.MINHASH_SHINGLE_K)
-    if not shs:
-        return np.empty(0, dtype=np.uint64)
-    ids = hash64_batch(shs) % np.uint64(C.MINHASH_PRIME)
-    return np.unique(ids)
+    _, ids, _ = _row_distinct_shingle_ids([norm_text])
+    return ids
 
 
 def _row_distinct_shingle_ids(
     norms: Sequence[str],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch shingling: -> (row_idx, ids, starts) where ids are DISTINCT
-    per row, sorted by (row, id); starts has len n+1. Flattens all
-    shingles, hashes once, dedups per row via lexsort — no per-row
-    Python hashing."""
+    per row, sorted by (row, id); starts has len n+1. v2: shingles are
+    spans of the flat codepoint array hashed vectorized (span-poly-v2),
+    then deduped per row via lexsort — no per-row Python at all.
+    Chunked like simhash (per-row results concatenate exactly)."""
+    bounds = _chunk_bounds(norms)
+    if len(bounds) > 1:
+        rows_l, ids_l, starts_l = [], [], [np.zeros(1, dtype=np.int64)]
+        for r0, r1 in bounds:
+            ri, xi, si = _row_distinct_shingle_chunk(norms[r0:r1])
+            rows_l.append(ri + r0)
+            ids_l.append(xi)
+            starts_l.append(si[1:] + starts_l[-1][-1])
+        return (
+            np.concatenate(rows_l),
+            np.concatenate(ids_l),
+            np.concatenate(starts_l),
+        )
+    return _row_distinct_shingle_chunk(norms)
+
+
+def _row_distinct_shingle_chunk(
+    norms: Sequence[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = len(norms)
-    shs = [char_shingles(nt, C.MINHASH_SHINGLE_K) for nt in norms]
-    lens = np.array([len(s) for s in shs], dtype=np.int64)
     starts = np.zeros(n + 1, dtype=np.int64)
-    if lens.sum() == 0:
+    c, row_start, lens = _flatten_norms(norms)
+    row_idx, i, j = _kgram_spans(row_start, lens, C.MINHASH_SHINGLE_K, True)
+    if len(i) == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64), starts
-    flat_ids = hash64_batch([s for row in shs for s in row]) % np.uint64(
-        C.MINHASH_PRIME
-    )
-    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    S, pw = _span_prefix(c)
+    flat_ids = _span_hash(S, pw, i, j) % np.uint64(C.MINHASH_PRIME)
     order = np.lexsort((flat_ids, row_idx))
     rs, ids_s = row_idx[order], flat_ids[order]
     keep = np.ones(len(ids_s), dtype=bool)
@@ -283,8 +467,11 @@ def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
     nonempty = starts[:-1] < starts[1:]
     mins = np.empty((n, C.NUM_PERM), dtype=np.uint64)
     # chunk on row boundaries so reduceat segments never split; one reused
-    # buffer avoids 64MB alloc+page-fault churn per chunk (measured 2.5x).
-    target = 65_536  # shingles/chunk -> 64k*128*8B = 64MB working set
+    # buffer avoids alloc+page-fault churn per chunk. 1k shingles/chunk ->
+    # 1k*128*8B = 1MB working set, L2-resident: measured 4,541 rows/s vs
+    # 1,168 at the old 64MB chunk (the hx buffer is touched 3x per chunk —
+    # multiply, add, mod — so it must LIVE in cache, not stream from DRAM).
+    target = 1_024
     max_row = int((starts[1:] - starts[:-1]).max())
     buf = np.empty((max(target, max_row), C.NUM_PERM), dtype=np.uint64)
     r0 = 0
@@ -394,13 +581,38 @@ def substring_grams(norm_text: str) -> np.ndarray:
     offset in either text (alignment-free). A >= SUBSTR_MIN_LEN=64-char
     shared span holds 49 gram positions; miss probability
     (1-1/8)^49 ~ 0.14%. Returns distinct uint64 gram ids."""
-    n = len(norm_text)
-    if n < C.GRAM_K:
-        return np.empty(0, dtype=np.uint64)
-    grams = [norm_text[i : i + C.GRAM_K] for i in range(n - C.GRAM_K + 1)]
-    ids = hash64_batch(grams)
-    sampled = ids[ids % np.uint64(C.GRAM_STRIDE) == 0]
-    return np.unique(sampled)
+    return substring_grams_batch([norm_text])[0]
+
+
+def substring_grams_batch(norms: Sequence[str]) -> list[np.ndarray]:
+    """Batch substring_grams: flat span-hash passes over ~_CHUNK_CP
+    chunks (v2 vectorized), per-row distinct sampled gram ids out."""
+    bounds = _chunk_bounds(norms)
+    if len(bounds) > 1:
+        out: list[np.ndarray] = []
+        for r0, r1 in bounds:
+            out.extend(_substring_grams_chunk(norms[r0:r1]))
+        return out
+    return _substring_grams_chunk(norms)
+
+
+def _substring_grams_chunk(norms: Sequence[str]) -> list[np.ndarray]:
+    n = len(norms)
+    c, row_start, lens = _flatten_norms(norms)
+    row_idx, i, j = _kgram_spans(row_start, lens, C.GRAM_K, False)
+    if len(i) == 0:
+        return [np.empty(0, dtype=np.uint64)] * n
+    S, pw = _span_prefix(c)
+    ids = _span_hash(S, pw, i, j)
+    keep = ids % np.uint64(C.GRAM_STRIDE) == 0
+    ids, row_idx = ids[keep], row_idx[keep]
+    order = np.lexsort((ids, row_idx))
+    rs, vs = row_idx[order], ids[order]
+    uniq = np.ones(len(rs), dtype=bool)
+    uniq[1:] = (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])
+    rs, vs = rs[uniq], vs[uniq]
+    counts = np.bincount(rs, minlength=n)
+    return np.split(vs, np.cumsum(counts)[:-1])
 
 
 # ---------------------------------------------------------------------------
