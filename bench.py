@@ -71,7 +71,7 @@ def clips_throughput(spark, n: int, warm: bool = False) -> dict:
     the same path as an untimed warm-up (small n)."""
     from pyspark.sql import functions as F
 
-    from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
+    from simhash_spark.functions.signatures import profile_udf
     from simhash_spark.operators.lsh import build_bands, candidate_pairs
 
     path = _clips_parquet(n)
@@ -86,13 +86,12 @@ def clips_throughput(spark, n: int, warm: bool = False) -> dict:
     t0 = time.time()
     # materialize each stage once (the checkpointed pipeline does this via
     # stage tables; multiple consumers would otherwise re-run the UDFs).
-    norm = clips.select(
-        "clip_id", normalize_udf("transcript").alias("norm_text")
-    ).localCheckpoint(eager=True)
-    sigs = norm.select(
-        "clip_id", simhash64_udf("norm_text").alias("simhash")
-    ).localCheckpoint(eager=True)
-    bands = build_bands(norm, sigs).localCheckpoint(eager=True)
+    # Same stage shapes as the pipeline: fused normalize+simhash profile,
+    # sig-carrying bands, hamming-carrying pairs.
+    prof = clips.select(
+        "clip_id", profile_udf("transcript").alias("p")
+    ).select("clip_id", "p.norm_text", "p.simhash").localCheckpoint(eager=True)
+    bands = build_bands(prof, prof).localCheckpoint(eager=True)
     pairs = candidate_pairs(bands, band_group_cap=2000)
     n_pairs = pairs.count()
     wall = time.time() - t0

@@ -72,6 +72,16 @@ def minhash_bands_udf(norm: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
+def mh_gram_bkeys_udf(norm: pd.Series) -> pd.Series:
+    """FUSED minhash-band + gram detector: PACKED int64 band keys
+    (lsh bkey layout) for both detectors in ONE Arrow crossing — the
+    bands stage's two Python evals over the same text become one, and
+    the kernel shares a single flatten/prefix pass (reference.py
+    mh_gram_bkeys_batch)."""
+    return pd.Series(R.mh_gram_bkeys_batch(norm.fillna("").tolist()))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
 def substring_grams_udf(norm: pd.Series) -> pd.Series:
     """Content-sampled gram ids for the substring detector's inverted
     index. Returned as signed int64 (two's-complement of uint64 ids)."""

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from simhash_spark import config as C
 from simhash_spark.functions.signatures import (
+    mh_gram_bkeys_udf,
     minhash_bands_udf,
     simhash_table_key_cols,
     substring_grams_udf,
@@ -107,14 +108,23 @@ def build_bands(
         )
         parts.append(sim)
 
-    if "minhash" in detectors:
+    if "minhash" in detectors and "substring" in detectors:
+        # FUSED kernel (VERDICT r3 #3): one Arrow crossing emits
+        # PRE-PACKED bkeys for both detectors; the kernel shares a single
+        # flatten/prefix pass (reference.mh_gram_bkeys_batch) and the
+        # packing layout is pytest-pinned against _pack_bkey.
+        parts.append(
+            normalized.select(
+                "clip_id", F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
+            )
+        )
+    elif "minhash" in detectors:
         mh = normalized.select(
             "clip_id",
             F.posexplode(minhash_bands_udf("norm_text")).alias("band_id", "band_hash"),
         ).select("clip_id", _pack_bkey(2, F.col("band_id"), F.col("band_hash")).alias("bkey"))
         parts.append(mh)
-
-    if "substring" in detectors:
+    elif "substring" in detectors:
         gr = normalized.select(
             "clip_id", F.explode(substring_grams_udf("norm_text")).alias("band_hash")
         ).select("clip_id", _pack_bkey(3, 0, F.col("band_hash")).alias("bkey"))

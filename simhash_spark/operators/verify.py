@@ -6,16 +6,31 @@ a pandas UDF inside ``when()`` still evaluates for every row (Spark
 computes ArrowEvalPython projections unconditionally), so each UDF gets
 its own pre-filtered DataFrame instead.
 
-  tier 0 — det=='exact': identical normalized text, pre-verified.
-  tier 1 — Hamming on the 64-bit simhashes: ``bit_count(a ^ b)`` — pure
-           whole-stage-codegen JVM; only the 8-byte sigs are joined here.
+  tier 0 — det=='exact': identical normalized text, pre-verified
+           (hamming reported as 0: identical text => identical sig).
+  tier 1 — Hamming on the 64-bit simhashes, applied to det=='sim' pairs
+           ONLY. This is the Manku pigeonhole theorem used as a ROUTING
+           guarantee, not just a recall guarantee: any pair with
+           hamming <= HAM_D collides in at least one of the C(6,3) sim
+           tables, so it SURFACES with det=='sim' (detector priority
+           exact > sim > mh > gram) unless every colliding sim group was
+           over the hot cap — and hot sim groups emit star edges to
+           their hub, so those members are already connected
+           transitively in the cluster graph. A pair carrying det mh or
+           gram therefore provably cannot newly pass the hamming rule,
+           and the signature join shrinks from O(all pairs) to O(sim
+           pairs) — at 2M rows that is 152k of 77M pairs, turning the
+           verify stage's two biggest shuffles into a sliver.
   tier 2 — texts are joined ONLY for pairs that pass the LSH-evidence
            gates (band-hit counts collected for free during pair dedupe):
              jaccard   : mh_hits >= 2 (true j>=0.8 misses w.p. ~3e-5),
-                         or any mh hit on a starred hot-band edge;
+                         or any mh hit on a starred hot-band edge —
+                         Arrow-batched shingle kernel (Python);
              substring : gram_hits >= gram_hits_min (default 2 — a
                          64-char span samples ~6 grams; P(<2) ~ 1.1%),
-                         or any gram hit on a starred edge.
+                         or any gram hit on a starred edge — pure JVM
+                         contains() (no Arrow crossing; this branch
+                         carries the bulk of the survivors).
 
 VERIFY rule (config.py, SURVEY.md §2.2): hamming <= 3 OR jaccard >= 0.8
 OR verbatim containment of the (>= 64-char) shorter side.
@@ -27,11 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simhash_spark import config as C
-from simhash_spark.functions.signatures import (
-    hamming_col,
-    jaccard_udf,
-    substring_contained_udf,
-)
+from simhash_spark.functions.signatures import hamming_col, jaccard_udf
 from simhash_spark.util import track_persisted
 
 _OUT_COLS = ["a", "b", "det", "method", "hamming", "jaccard"]
@@ -46,33 +57,45 @@ def verify_pairs(
     """pairs(a, b, det, mh_hits, gram_hits, starred) ->
     verified_pairs(a, b, det, method, hamming, jaccard).
 
-    ``profile``: (clip_id, norm_text, simhash)."""
-    sigs = profile.select("clip_id", "simhash")
-    # PERSIST (VERDICT r3 #1): tier01 AND rest both consume this
-    # two-sided sig join; uncached, the pair table crossed the two
-    # biggest shuffles TWICE (once per branch of the output union —
-    # ReuseExchange only saves the exchange, not the merge-join +
-    # filter re-execution). Cached rows are narrow: pair attrs + two
-    # 8-byte sigs. Released by whoever materializes the result
-    # (track_persisted contract).
-    joined = (
-        pairs.join(
-            sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")), "a"
-        )
-        .join(
-            sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")), "b"
-        )
-        .withColumn("hamming", hamming_col("sig_a", "sig_b"))
-        .persist()
-    )
+    ``profile``: (clip_id, norm_text, simhash).
 
-    tier01 = joined.filter(
-        (F.col("det") == "exact") | (F.col("hamming") <= C.VERIFY_HAMMING_MAX)
-    ).select(
+    Tier routing is the module-docstring pigeonhole argument: signatures
+    are joined onto det=='sim' pairs ONLY (every other det provably
+    cannot newly satisfy the hamming rule); exact pairs pass with
+    hamming 0 and mh/gram pairs go straight to the evidence-gated
+    tier 2 with hamming reported as NULL."""
+    # tier 0: identical normalized text — pre-verified, sig-free.
+    tier0 = pairs.filter(F.col("det") == "exact").select(
         "a",
         "b",
         "det",
-        F.when(F.col("det") == "exact", "exact").otherwise("hamming").alias("method"),
+        F.lit("exact").alias("method"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+
+    # tier 1: sigs joined onto the det=='sim' sliver only. PERSIST: the
+    # hamming pass and the tier-2 fallthrough both read it (it is tiny —
+    # O(sim pairs), not O(pairs)).
+    sigs = profile.select("clip_id", "simhash")
+    simj = (
+        pairs.filter(F.col("det") == "sim")
+        .join(
+            sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")),
+            "a",
+        )
+        .join(
+            sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")),
+            "b",
+        )
+        .withColumn("hamming", hamming_col("sig_a", "sig_b").cast("int"))
+        .persist()
+    )
+    tier1 = simj.filter(F.col("hamming") <= C.VERIFY_HAMMING_MAX).select(
+        "a",
+        "b",
+        "det",
+        F.lit("hamming").alias("method"),
         "hamming",
         F.lit(None).cast("double").alias("jaccard"),
     )
@@ -83,43 +106,71 @@ def verify_pairs(
     needs_sub = (F.col("gram_hits") >= gram_hits_min) | (
         (F.col("starred") == 1) & (F.col("gram_hits") >= 1)
     )
-    rest = joined.filter(
-        (F.col("det") != "exact") & (F.col("hamming") > C.VERIFY_HAMMING_MAX)
-    ).filter(needs_jac | needs_sub)
+    attrs = ["a", "b", "det", "mh_hits", "gram_hits", "starred", "hamming"]
+    rest = (
+        simj.filter(F.col("hamming") > C.VERIFY_HAMMING_MAX)
+        .select(*attrs)
+        .unionByName(
+            pairs.filter(F.col("det").isin("mh", "gram")).withColumn(
+                "hamming", F.lit(None).cast("int")
+            ).select(*attrs)
+        )
+        .filter(needs_jac | needs_sub)
+    )
 
-    # texts joined ONLY for the gated survivors (tiny vs the pair table).
+    # texts joined ONLY for the gated survivors, PER BRANCH and AFTER the
+    # branch filter. The previous shape joined texts onto the combined
+    # survivor set and persisted it — at 2M rows that cache was 11M pairs
+    # x two ~300-char texts (~7 GB), which 32 concurrent tasks evicted
+    # and recomputed (verify T32 measured SLOWER than T8). The substring
+    # branch (the bulk — gram evidence is the most common survivor) needs
+    # no cache at all now that its check is JVM-side.
     texts = profile.select("clip_id", "norm_text")
-    cand = (
-        rest.join(
+
+    def with_texts(df: DataFrame) -> DataFrame:
+        return df.join(
             texts.select(F.col("clip_id").alias("a"), F.col("norm_text").alias("norm_a")),
             "a",
-        )
-        .join(
+        ).join(
             texts.select(F.col("clip_id").alias("b"), F.col("norm_text").alias("norm_b")),
             "b",
         )
-        .persist()
-    )
 
+    # jaccard tier: Python (Arrow) shingle kernel, but only the mh-gated
+    # sliver reaches it; persisted because sub_in re-reads the failures.
     jac = (
-        cand.filter(needs_jac)
+        with_texts(rest.filter(needs_jac))
         .withColumn("jaccard", jaccard_udf("norm_a", "norm_b"))
         .persist()
     )
     jac_pass = jac.filter(F.col("jaccard") >= C.VERIFY_JACCARD_MIN).select(
         "a", "b", "det", F.lit("jaccard").alias("method"), "hamming", "jaccard"
     )
-    sub_in = cand.filter(needs_sub & ~needs_jac).withColumn(
+
+    # substring tier: pure JVM — containment of the (>= SUBSTR_MIN_LEN)
+    # shorter side via codegen'd contains(); the old Arrow UDF shipped
+    # ~GBs of candidate texts to Python for a string find that whole-
+    # stage codegen does in place (this was the verify stage's real
+    # scale-killer, not the join count).
+    sub_in = with_texts(rest.filter(needs_sub & ~needs_jac)).withColumn(
         "jaccard", F.lit(None).cast("double")
     ).unionByName(
         jac.filter((F.col("jaccard") < C.VERIFY_JACCARD_MIN) & needs_sub),
         allowMissingColumns=False,
     )
-    sub_pass = sub_in.filter(substring_contained_udf("norm_a", "norm_b")).select(
+    contained = F.when(
+        F.length("norm_a") <= F.length("norm_b"),
+        (F.length("norm_a") >= C.SUBSTR_MIN_LEN)
+        & F.col("norm_b").contains(F.col("norm_a")),
+    ).otherwise(
+        (F.length("norm_b") >= C.SUBSTR_MIN_LEN)
+        & F.col("norm_a").contains(F.col("norm_b"))
+    )
+    sub_pass = sub_in.filter(contained).select(
         "a", "b", "det", F.lit("substring").alias("method"), "hamming", "jaccard"
     )
 
-    out = tier01.unionByName(jac_pass).unionByName(sub_pass)
-    # joined/cand/jac stay cached until the caller materializes the
-    # result (CheckpointStore.write releases them).
-    return track_persisted(out, [joined, cand, jac])
+    out = tier0.unionByName(tier1).unionByName(jac_pass).unionByName(sub_pass)
+    # simj/jac stay cached until the caller materializes the result
+    # (CheckpointStore.write releases them).
+    return track_persisted(out, [simj, jac])

@@ -136,3 +136,32 @@ def test_jaccard_udf_matches_reference(spark):
         R.jaccard(R.normalize_text(a), R.normalize_text(b)) for a, b in pairs
     ]
     assert np.allclose(got, want, atol=0, rtol=0)
+
+
+def test_fused_mh_gram_bkeys_match_jvm_packing(spark):
+    """The fused mh+gram kernel emits PRE-PACKED bkeys; they must be
+    bit-identical to the un-fused path (minhash_bands_udf /
+    substring_grams_udf exploded + lsh._pack_bkey JVM shifts) — the
+    packing layout is load-bearing for every downstream keyed op."""
+    from simhash_spark.functions.signatures import mh_gram_bkeys_udf
+    from simhash_spark.operators.lsh import _pack_bkey
+
+    texts = _texts() + ["", "ab", "x" * 70, None]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "clip_id string, text string"
+    ).select("clip_id", normalize_udf("text").alias("norm_text"))
+    fused = {
+        (r.clip_id, r.bkey)
+        for r in df.select(
+            "clip_id", F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
+        ).collect()
+    }
+    mh = df.select(
+        "clip_id",
+        F.posexplode(minhash_bands_udf("norm_text")).alias("band_id", "band_hash"),
+    ).select("clip_id", _pack_bkey(2, F.col("band_id"), F.col("band_hash")).alias("bkey"))
+    gr = df.select(
+        "clip_id", F.explode(substring_grams_udf("norm_text")).alias("band_hash")
+    ).select("clip_id", _pack_bkey(3, 0, F.col("band_hash")).alias("bkey"))
+    want = {(r.clip_id, r.bkey) for r in mh.unionByName(gr).collect()}
+    assert fused == want
