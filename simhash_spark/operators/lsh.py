@@ -145,6 +145,8 @@ def candidate_pairs(
     partitions: int | None = None,
     max_pairs_per_group: int | None = None,
     metrics_sink=None,
+    gate: bool = True,
+    gram_hits_min: int = 2,
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
@@ -156,6 +158,19 @@ def candidate_pairs(
     (same mechanism as ``band_group_cap``, expressed in pairs instead of
     rows); diverted groups/pairs are logged to ``metrics_sink`` — no
     silent truncation.
+
+    ``gate=True`` (default) drops, AT THE SOURCE, deduped pairs that can
+    never verify: det mh/gram, unstarred, below BOTH evidence gates
+    (mh_hits < 2 and gram_hits < ``gram_hits_min``). Such a pair fails
+    every verify tier by construction — the hamming tier is closed to it
+    by the sim-table pigeonhole (operators/verify.py module doc), and
+    the jaccard/substring tiers are exactly the gates. At 2M rows this
+    is 65M of 77M deduped pairs (gram pairs with a single shared sampled
+    gram — overwhelmingly boilerplate coincidences): dropping them
+    shrinks the stage write and every verify-side scan ~6x. The drop
+    count is logged to ``metrics_sink``. verify_pairs re-applies the
+    same gates, so a sig-less caller that gates differently (pass
+    ``gate=False``) gets identical final semantics.
     """
     spark = bands.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -280,6 +295,40 @@ def candidate_pairs(
             "starred",
         )
     )
+    if gate:
+        # source-side verifiability gate (docstring): keep exact/sim
+        # always (tier 0/1 candidates), and mh/gram pairs only with
+        # enough band-hit evidence for a tier-2 check.
+        can_verify = (
+            F.col("det").isin("exact", "sim")
+            | (F.col("mh_hits") >= 2)
+            | (F.col("gram_hits") >= gram_hits_min)
+            | ((F.col("starred") == 1) & ((F.col("mh_hits") >= 1) | (F.col("gram_hits") >= 1)))
+        )
+        if metrics_sink is not None:
+            # drop accounting rides the caller's materialization pass for
+            # free (Observation — no extra job, no cache): the count is
+            # DEFERRED until an action runs; CheckpointStore.write (or
+            # any direct consumer via util.flush_deferred_metrics)
+            # flushes it after the stage is materialized.
+            from pyspark.sql import Observation
+
+            from simhash_spark.util import defer_metric
+
+            obs = Observation()
+            pairs = pairs.observe(
+                obs, F.sum(F.when(~can_verify, 1).otherwise(0)).alias("dropped")
+            )
+            pairs = defer_metric(
+                pairs.filter(can_verify),
+                obs,
+                "dropped",
+                lambda v: metrics_sink(
+                    "ungated_pairs_dropped", int(v or 0), gram_hits_min=gram_hits_min
+                ),
+            )
+        else:
+            pairs = pairs.filter(can_verify)
     # `annotated` stays cached until the caller materializes `pairs`
     # (CheckpointStore.write releases it — no executor-storage leak in a
     # long-lived driver).

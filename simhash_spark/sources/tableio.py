@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simhash_spark import config as C
-from simhash_spark.util import release_persisted
+from simhash_spark.util import flush_deferred_metrics, release_persisted
 
 
 class IcebergUnavailable(RuntimeError):
@@ -145,6 +145,7 @@ class CheckpointStore:
             if partition_by:
                 w = w.partitionedBy(*[df[c] for c in partition_by])
             w.createOrReplace()
+            flush_deferred_metrics(df)  # observed aggs rode the write pass
             release_persisted(df)
             manifest = {"stage": stage, "iceberg_table": ident, "semantics": _sem_json()}
             self.append_lineage({"event": "stage_commit", "stage": stage, "table": ident})
@@ -158,6 +159,7 @@ class CheckpointStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
+        flush_deferred_metrics(df)  # observed aggs rode the write pass
         release_persisted(df)
         # per-file lineage from parquet FOOTERS (no Spark scan — footer
         # metadata only; on Iceberg this comes free from the snapshot
@@ -223,6 +225,7 @@ class CheckpointStore:
         if self.catalog is not None:
             ident = f"{self.catalog}.{self.namespace}.{stage}"
             df.writeTo(ident).append()
+            flush_deferred_metrics(df)
             release_persisted(df)
             self.append_lineage(
                 {"event": "stage_append", "stage": stage, "table": ident, "batch_id": batch_id}
@@ -255,6 +258,7 @@ class CheckpointStore:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(data_dir)
+        flush_deferred_metrics(df)
         release_persisted(df)
         files = _parquet_file_rows(data_dir)
         rows = sum(r["count"] for r in files)

@@ -24,6 +24,24 @@ def release_persisted(df: DataFrame) -> None:
     df._persisted_deps = []
 
 
+def defer_metric(df: DataFrame, observation, key: str, emit) -> DataFrame:
+    """Record an Observation-backed metric on ``df`` to be flushed by
+    whoever materializes it (CheckpointStore.write / flush_deferred_metrics):
+    the observed aggregate is computed FOR FREE by that action's pass —
+    no extra job, no cache — and ``emit(value)`` is called afterwards.
+    Contract mirrors track_persisted (in-place attribute, same object)."""
+    df._deferred_metrics = getattr(df, "_deferred_metrics", []) + [(observation, key, emit)]
+    return df
+
+
+def flush_deferred_metrics(df: DataFrame) -> None:
+    """Emit every metric recorded by ``defer_metric``. Call ONLY after an
+    action has materialized ``df`` (Observation.get blocks otherwise)."""
+    for obs, key, emit in getattr(df, "_deferred_metrics", []):
+        emit(obs.get[key])
+    df._deferred_metrics = []
+
+
 class releasing:
     """Context manager for DIRECT consumers of a track_persisted result
     (ones that collect/count it themselves instead of routing it through

@@ -81,6 +81,41 @@ def test_max_pairs_per_group_stars_and_logs(spark):
     assert logged.get("lsh_hot_band_groups", 0) > 0
 
 
+def _mk_bkey(det_id: int, band_id: int, band_hash: int) -> int:
+    """Python-side twin of lsh._pack_bkey (two's-complement wrap)."""
+    v = (det_id << 62) | (band_id << 57) | (band_hash & ((1 << 57) - 1))
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_source_gate_drops_unverifiable_pairs_and_logs(spark, tmp_path):
+    # Hand-crafted band table: (x,y) share ONE mh band (mh_hits=1 — can
+    # never pass the tier-2 jaccard gate), (g,h) share ONE gram
+    # (gram_hits=1 < gram_hits_min), (p,q) share TWO mh bands (kept).
+    rows = [
+        ("x", _mk_bkey(2, 0, 111)), ("y", _mk_bkey(2, 0, 111)),
+        ("g", _mk_bkey(3, 0, 222)), ("h", _mk_bkey(3, 0, 222)),
+        ("p", _mk_bkey(2, 1, 333)), ("q", _mk_bkey(2, 1, 333)),
+        ("p", _mk_bkey(2, 2, 444)), ("q", _mk_bkey(2, 2, 444)),
+    ]
+    bands = spark.createDataFrame(rows, "clip_id string, bkey long")
+    ungated = {(r.a, r.b) for r in candidate_pairs(bands, gate=False).collect()}
+    assert ungated == {("x", "y"), ("g", "h"), ("p", "q")}
+    gated = {(r.a, r.b) for r in candidate_pairs(bands).collect()}
+    assert gated == {("p", "q")}
+
+    # The drop count is an Observation riding the caller's own
+    # materialization (no extra job); CheckpointStore.write flushes it.
+    from simhash_spark.sources.tableio import CheckpointStore
+
+    metrics = []
+    pairs = candidate_pairs(
+        bands, metrics_sink=lambda n, v, **t: metrics.append((n, v, t))
+    )
+    CheckpointStore(spark, str(tmp_path / "gate-ckpt")).write("candidate_pairs", pairs)
+    logged = [(n, v) for n, v, _ in metrics if n == "ungated_pairs_dropped"]
+    assert logged == [("ungated_pairs_dropped", 2)]
+
+
 def test_candidate_pairs_explicit_partitioning(spark):
     # north_rule: explicit partition counts — the band keys must be
     # hash-repartitioned to the requested count before the self-join.
