@@ -128,6 +128,15 @@ def main() -> None:
         cache = "/dev/shm/simhash-bench-clips"
         ckpt_base = "/dev/shm/simhash-bench-ckpt"
         os.makedirs(ckpt_base, exist_ok=True)
+        # Shuffle/spill files too (spark.local.dir, via session.py's env
+        # knob): same storage-model argument as the corpus/checkpoints —
+        # on a real cluster these are per-node NVMe whose bandwidth
+        # scales with node count, while /tmp here is the one shared
+        # disk. Measured A-B in BENCH/BASELINE.md. Children inherit env;
+        # Spark removes its per-app subdirs on clean JVM shutdown.
+        local_dir = "/dev/shm/simhash-bench-local"
+        os.makedirs(local_dir, exist_ok=True)
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", local_dir)
     corpus = os.path.join(cache, f"scaling-n{args.rows}-seed42")
     clips_path = os.path.join(corpus, "clips.parquet")
     if not os.path.exists(os.path.join(corpus, "_DONE")):

@@ -51,6 +51,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_GC", "-XX:+UseG1GC"),
         )
     )
+    # Shuffle/spill files land in spark.local.dir (default /tmp — the
+    # box's single disk). On a real cluster this is per-node NVMe that
+    # scales with node count; the scaling bench's --shm mode points it at
+    # tmpfs for the same reason the corpus/checkpoints go there (see
+    # bin/scaling_bench.py module doc). Measured A-B below in
+    # BENCH/BASELINE.md.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
