@@ -44,6 +44,7 @@ from simhash_spark.config import EngineConfig
 from simhash_spark.plans.pipeline import DedupPipeline
 
 cores = {cores}
+sp = {sp} or cores * 2
 # 24g heap (the session default): the controlled 8-core A-B measured the
 # 2M pipeline at 1205 s with a 64 GiB heap vs 1092 s at 24 GiB (G1 both;
 # gc_sec 35.7 vs 7.1) — the oversized heap let executor-side state grow
@@ -51,7 +52,7 @@ cores = {cores}
 # override SPARK_GRAFT_BENCH_MEM for heap A-B runs.
 import os as _os
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores * 2,
+                  shuffle_partitions=sp,
                   extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
                           "spark.driver.memory":
                               _os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")}})
@@ -60,7 +61,7 @@ spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 clips = spark.read.parquet({clips_path!r})
 ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-", dir={ckpt_base!r})
 t0 = time.time()
-pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=cores * 2))
+pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=sp))
 clusters = pipe.run(clips)
 n = clusters.count()
 wall = time.time() - t0
@@ -85,8 +86,8 @@ print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
 """
 
 
-def run_at(cores: int, clips_path: str, ckpt_base: str | None) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base)
+def run_at(cores: int, clips_path: str, ckpt_base: str | None, sp: int | None = None) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base, sp=sp)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -105,6 +106,14 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--sp",
+        type=int,
+        default=None,
+        help="fix spark.sql.shuffle.partitions (and the pipeline's explicit "
+        "partition counts) across core counts, modeling a real cluster where "
+        "the partition count does not track executor count; default: cores*2",
+    )
     ap.add_argument(
         "--only",
         type=int,
@@ -164,7 +173,7 @@ def main() -> None:
 
     if args.only is not None:
         print(f"running local[{args.only}] ...", file=sys.stderr)
-        partials[args.only] = run_at(args.only, clips_path, ckpt_base)
+        partials[args.only] = run_at(args.only, clips_path, ckpt_base, args.sp)
         with open(partial_path, "w") as f:
             json.dump(partials, f)
         print(json.dumps(partials[args.only]))
@@ -177,7 +186,7 @@ def main() -> None:
             results[cores] = partials[cores]
             continue
         print(f"running local[{cores}] ...", file=sys.stderr)
-        results[cores] = run_at(cores, clips_path, ckpt_base)
+        results[cores] = run_at(cores, clips_path, ckpt_base, args.sp)
         print(f"  {results[cores]}", file=sys.stderr)
 
     lo, hi = results[args.low], results[args.high]
