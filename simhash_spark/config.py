@@ -114,6 +114,11 @@ class EngineConfig:
     #: granularity; diverted groups are logged to _metrics (no silent
     #: truncation). None disables the pair-count cap.
     max_pairs_per_group: int | None = None
+    #: Cold-path pairwise expansion in candidate_pairs: 'agg' (one
+    #: aggregation pass + double explode — 1.8x faster at 32 cores and
+    #: scales 8->32 where the self-join is flat; BENCH/cp-stage-*.json)
+    #: or 'join' (sort-merge self-join, the A-B control).
+    pair_gen: str = "agg"
     #: Connected-components max iterations (safety guard; the loop stops on
     #: convergence well before this for realistic dup-cluster diameters).
     cc_max_iters: int = 50

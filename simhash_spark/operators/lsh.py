@@ -147,6 +147,7 @@ def candidate_pairs(
     metrics_sink=None,
     gate: bool = True,
     gram_hits_min: int = 2,
+    pair_gen: str = "agg",
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
@@ -171,6 +172,20 @@ def candidate_pairs(
     count is logged to ``metrics_sink``. verify_pairs re-applies the
     same gates, so a sig-less caller that gates differently (pass
     ``gate=False``) gets identical final semantics.
+
+    ``pair_gen`` picks the cold-path pairwise expansion:
+      'agg'  (default) — groupBy(bkey) + sorted collect_set + a double
+             explode (posexplode of the id array, then explode of its
+             tail slice). ONE pass over the cached cold rows, no sort,
+             no join; the aggregation buffer is bounded by
+             ``band_group_cap`` ids (16 KB at the default 2000) because
+             over-cap groups were already diverted to star edges — the
+             unbounded-group OOM hazard that rules out a naive
+             collect_list over raw bands cannot occur here.
+      'join' — the previous sort-merge self-join on bkey (two scans +
+             two sorts of the cold rows). Kept as the A-B control and
+             for engines where object-hash aggregation is undesirable.
+    Both modes emit the identical (a < b) pair multiset — pytest-pinned.
     """
     spark = bands.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -238,22 +253,43 @@ def candidate_pairs(
 
     is_star = over_cap | (det_id_col("bkey") == 0)
 
-    # cold path: full pairwise within group via co-partitioned self-join
-    # (group size <= cap bounds the worst group at cap^2/2 pairs).
-    # det travels as the 2-bit id packed in bkey — no extra column.
+    # cold path: full pairwise within group (group size <= cap bounds the
+    # worst group at cap^2/2 pairs). det travels as the 2-bit id packed
+    # in bkey — no extra column.
     cold_bands = annotated.filter(~is_star).select(*_KEYS, "clip_id")
-    a = cold_bands.alias("a")
-    b = cold_bands.alias("b")
-    pairs_cold = (
-        a.join(b, _KEYS, "inner")
-        .where(F.col("a.clip_id") < F.col("b.clip_id"))
-        .select(
-            F.col("a.clip_id").alias("a"),
-            F.col("b.clip_id").alias("b"),
+    if pair_gen == "agg":
+        # docstring 'agg' mode: one aggregation pass (no exchange — the
+        # rows are already hash-partitioned on bkey) + streamed double
+        # explode. sort_array makes ascending order a structural
+        # invariant, so pos < tail-slice position IS a < b; collect_set
+        # (vs _list) guards the degenerate same-clip-same-bkey row.
+        grp = cold_bands.groupBy(*_KEYS).agg(
+            F.sort_array(F.collect_set("clip_id")).alias("ids")
+        )
+        left = grp.select(
+            *_KEYS, "ids", F.posexplode("ids").alias("pos", "a")
+        )
+        pairs_cold = left.select(
+            F.col("a"),
+            F.explode(
+                F.slice("ids", F.col("pos") + 2, F.size("ids") - F.col("pos") - 1)
+            ).alias("b"),
             det_id_col("bkey").alias("det_id"),
             F.lit(0).alias("starred"),
         )
-    )
+    else:
+        a = cold_bands.alias("a")
+        b = cold_bands.alias("b")
+        pairs_cold = (
+            a.join(b, _KEYS, "inner")
+            .where(F.col("a.clip_id") < F.col("b.clip_id"))
+            .select(
+                F.col("a.clip_id").alias("a"),
+                F.col("b.clip_id").alias("b"),
+                det_id_col("bkey").alias("det_id"),
+                F.lit(0).alias("starred"),
+            )
+        )
 
     # star path (exact groups of any size + over-cap sim/mh/gram groups):
     # linear edges to the group's min clip_id. For 'exact' this is lossless

@@ -105,6 +105,7 @@ class DedupPipeline:
                 partitions=n_part,
                 max_pairs_per_group=cfg.max_pairs_per_group,
                 metrics_sink=sink,
+                pair_gen=cfg.pair_gen,
             )
             store.write("candidate_pairs", pairs)
         pairs = store.read("candidate_pairs")

@@ -116,6 +116,31 @@ def test_source_gate_drops_unverifiable_pairs_and_logs(spark, tmp_path):
     assert logged == [("ungated_pairs_dropped", 2)]
 
 
+def test_pair_gen_agg_matches_join(spark):
+    # docstring contract: 'agg' (collect_set + double explode) and 'join'
+    # (sort-merge self-join) emit the identical pair set INCLUDING the
+    # per-detector hit counts and star flags, across exact dups,
+    # hamming-near dups, token dups and a hot over-cap band group.
+    long = " ".join(f"word{i}" for i in range(40))
+    rows = (
+        [("a", long), ("b", long), ("c", long.replace("word20", "wordXX"))]
+        + [(f"h{i:03d}", f"shared prefix words number{i}") for i in range(30)]
+        + [("z", "totally different thing entirely")]
+    )
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+
+    def snap(mode):
+        return {
+            (r.a, r.b, r.det, r.mh_hits, r.gram_hits, r.starred)
+            for r in candidate_pairs(
+                bands, band_group_cap=5, gate=False, pair_gen=mode
+            ).collect()
+        }
+
+    assert snap("agg") == snap("join")
+
+
 def test_candidate_pairs_explicit_partitioning(spark):
     # north_rule: explicit partition counts — the band keys must be
     # hash-repartitioned to the requested count before the self-join.
