@@ -61,7 +61,7 @@ spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 clips = spark.read.parquet({clips_path!r})
 ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-", dir={ckpt_base!r})
 t0 = time.time()
-pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=sp))
+pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=sp, pair_gen={pair_gen!r}))
 clusters = pipe.run(clips)
 n = clusters.count()
 wall = time.time() - t0
@@ -86,8 +86,10 @@ print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
 """
 
 
-def run_at(cores: int, clips_path: str, ckpt_base: str | None, sp: int | None = None) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base, sp=sp)
+def run_at(cores: int, clips_path: str, ckpt_base: str | None, sp: int | None = None,
+           pair_gen: str = "join") -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base,
+                        sp=sp, pair_gen=pair_gen)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -113,6 +115,13 @@ def main() -> None:
         help="fix spark.sql.shuffle.partitions (and the pipeline's explicit "
         "partition counts) across core counts, modeling a real cluster where "
         "the partition count does not track executor count; default: cores*2",
+    )
+    ap.add_argument(
+        "--pair-gen",
+        default="join",
+        choices=["agg", "join"],
+        help="candidate_pairs cold-path expansion (EngineConfig.pair_gen) "
+        "for pipeline-level A-B runs",
     )
     ap.add_argument(
         "--only",
@@ -173,7 +182,8 @@ def main() -> None:
 
     if args.only is not None:
         print(f"running local[{args.only}] ...", file=sys.stderr)
-        partials[args.only] = run_at(args.only, clips_path, ckpt_base, args.sp)
+        partials[args.only] = run_at(args.only, clips_path, ckpt_base, args.sp,
+                                     args.pair_gen)
         with open(partial_path, "w") as f:
             json.dump(partials, f)
         print(json.dumps(partials[args.only]))
@@ -186,7 +196,7 @@ def main() -> None:
             results[cores] = partials[cores]
             continue
         print(f"running local[{cores}] ...", file=sys.stderr)
-        results[cores] = run_at(cores, clips_path, ckpt_base, args.sp)
+        results[cores] = run_at(cores, clips_path, ckpt_base, args.sp, args.pair_gen)
         print(f"  {results[cores]}", file=sys.stderr)
 
     lo, hi = results[args.low], results[args.high]

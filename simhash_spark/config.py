@@ -114,11 +114,12 @@ class EngineConfig:
     #: granularity; diverted groups are logged to _metrics (no silent
     #: truncation). None disables the pair-count cap.
     max_pairs_per_group: int | None = None
-    #: Cold-path pairwise expansion in candidate_pairs: 'agg' (one
-    #: aggregation pass + double explode — 1.8x faster at 32 cores and
-    #: scales 8->32 where the self-join is flat; BENCH/cp-stage-*.json)
-    #: or 'join' (sort-merge self-join, the A-B control).
-    pair_gen: str = "agg"
+    #: Cold-path pairwise expansion in candidate_pairs: 'join'
+    #: (sort-merge self-join on bkey) or 'agg' (one aggregation pass +
+    #: double explode). A 2x2 interleaved pipeline A/B at 32 cores is a
+    #: tie inside host noise and 'join' wins at 8 cores
+    #: (BENCH/pipeline-ab-pairgen-t32-n2000000.json, cp-stage-*.json).
+    pair_gen: str = "join"
     #: Connected-components max iterations (safety guard; the loop stops on
     #: convergence well before this for realistic dup-cluster diameters).
     cc_max_iters: int = 50

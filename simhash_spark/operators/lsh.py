@@ -147,7 +147,7 @@ def candidate_pairs(
     metrics_sink=None,
     gate: bool = True,
     gram_hits_min: int = 2,
-    pair_gen: str = "agg",
+    pair_gen: str = "join",
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
@@ -174,18 +174,24 @@ def candidate_pairs(
     ``gate=False``) gets identical final semantics.
 
     ``pair_gen`` picks the cold-path pairwise expansion:
-      'agg'  (default) — groupBy(bkey) + sorted collect_set + a double
-             explode (posexplode of the id array, then explode of its
-             tail slice). ONE pass over the cached cold rows, no sort,
-             no join; the aggregation buffer is bounded by
-             ``band_group_cap`` ids (16 KB at the default 2000) because
-             over-cap groups were already diverted to star edges — the
-             unbounded-group OOM hazard that rules out a naive
-             collect_list over raw bands cannot occur here.
-      'join' — the previous sort-merge self-join on bkey (two scans +
-             two sorts of the cold rows). Kept as the A-B control and
-             for engines where object-hash aggregation is undesirable.
+      'join' (default) — sort-merge self-join on bkey.
+      'agg'  — groupBy(bkey) + sorted collect_set + a double explode
+             (posexplode of the id array, then explode of its tail
+             slice). ONE pass over the cold rows, no sort, no join; the
+             aggregation buffer is bounded by ``band_group_cap`` ids
+             (16 KB at the default 2000) because over-cap groups were
+             already diverted to star edges — the unbounded-group OOM
+             hazard that rules out a naive collect_list over raw bands
+             cannot occur here.
     Both modes emit the identical (a < b) pair multiset — pytest-pinned.
+    Measured at 2M rows (BENCH/cp-stage-n2000000.json,
+    BENCH/pipeline-ab-pairgen-t32-n2000000.json): at 8 cores 'join' wins
+    both isolated runs (233 s vs 272/312 s); at 32 cores a 2x2
+    interleaved pipeline-level A/B is a tie inside host noise (join
+    280/390 s vs agg 368/295 s total wall) — the one isolated run where
+    'agg' led 124 s to 223 s did not reproduce. 'join' stays the default;
+    'agg' remains the documented alternative for engines where the sort
+    is the measured bottleneck.
     """
     spark = bands.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
