@@ -521,14 +521,60 @@ def q_minhash_bands(spark, sf_dir):
 
 def q_doc_dup_clusters(spark, sf_dir):
     """Flagship: full pipeline (simhash + minhash LSH + substring grams ->
-    candidates -> verify -> connected components) on documents."""
-    return _shared_pipeline(spark, sf_dir).store.read("clusters").orderBy("clip_id")
+    candidates -> verify -> connected components) on documents.
+
+    ORACLE-CHECKED (round 4): the iterative min-label-propagation loop
+    (operators/cc.py) has no single-query SQL equivalent in Spark, but
+    DuckDB's recursive CTEs compute the same fixpoint: the verified edge
+    list and the node universe are materialized to side parquets, and
+    the oracle re-derives every component as min(reachable id) via a
+    transitive-closure walk over the SAME edges. A wrong label anywhere
+    (dropped edge, premature convergence, bad singleton fallback) makes
+    the hash compare fail. Closure size is O(sum component^2) — fine at
+    gate scale, which is why the ENGINE uses the iterative loop instead."""
+    pipe = _shared_pipeline(spark, sf_dir)
+    clusters = pipe.store.read("clusters")
+    pipe.store.read("verified_pairs").select("a", "b").distinct().write.mode(
+        "overwrite"
+    ).parquet(_CC_EDGES_PATH)
+    clusters.write.mode("overwrite").parquet(_CC_NODES_PATH)
+    return spark.read.parquet(_CC_NODES_PATH).orderBy("clip_id")
 
 
 def q_verified_dup_pairs(spark, sf_dir):
-    """Verified near-dup pairs on documents (pre-clustering view)."""
+    """Verified near-dup pairs on documents (pre-clustering view).
+
+    ORACLE-CHECKED (round 4): every verified pair is re-judged
+    relationally — the pair table is materialized WITH both normalized
+    texts and both simhash signatures, and DuckDB re-applies the
+    method-specific verify rule (config.py / SURVEY.md §2.2) over the
+    same file: exact => identical text; hamming => popcount(xor) <= 3;
+    jaccard => distinct char-5-shingle jaccard >= 0.8 recomputed from
+    raw substrings (no hashing); substring => the >= 64-char shorter
+    side verbatim-contained in the longer. A pair the engine verified
+    under the wrong rule drops from the oracle side and fails the
+    compare. (Completeness — pairs that SHOULD verify — is audited by
+    verified_jaccard_pairs, the cluster-recall query.)"""
     pipe = _shared_pipeline(spark, sf_dir)
-    return pipe.store.read("verified_pairs").select("a", "b", "det", "method")
+    vp = pipe.store.read("verified_pairs").select("a", "b", "det", "method")
+    prof = pipe.store.read("profile")
+    audit = vp.join(
+        prof.select(
+            F.col("clip_id").alias("a"),
+            F.col("norm_text").alias("norm_a"),
+            F.col("simhash").alias("sig_a"),
+        ),
+        "a",
+    ).join(
+        prof.select(
+            F.col("clip_id").alias("b"),
+            F.col("norm_text").alias("norm_b"),
+            F.col("simhash").alias("sig_b"),
+        ),
+        "b",
+    )
+    audit.write.mode("overwrite").parquet(_VERIFY_AUDIT_PATH)
+    return spark.read.parquet(_VERIFY_AUDIT_PATH).select("a", "b", "det", "method")
 
 
 # side parquet the side-table oracles read: a Spark query materializes an
@@ -541,6 +587,9 @@ _SIDE_DIR = os.path.join(tempfile.gettempdir(), f"simhash-oracle-side-{os.getpid
 _HAMMING_AUDIT_PATH = os.path.join(_SIDE_DIR, "hamming_audit.parquet")
 _OVERLAP_AUDIT_PATH = os.path.join(_SIDE_DIR, "overlap_audit.parquet")
 _BANDS_AUDIT_PATH = os.path.join(_SIDE_DIR, "bands_audit.parquet")
+_VERIFY_AUDIT_PATH = os.path.join(_SIDE_DIR, "verify_audit.parquet")
+_CC_NODES_PATH = os.path.join(_SIDE_DIR, "cc_nodes.parquet")
+_CC_EDGES_PATH = os.path.join(_SIDE_DIR, "cc_edges.parquet")
 
 
 def q_verified_hamming_pairs(spark, sf_dir):
@@ -809,10 +858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "verified_hamming_pairs": q_verified_hamming_pairs,
         "overlap_span_pairs": q_overlap_span_pairs,
-        # Spark-only (rows-only check):
-        "simhash_signatures": q_simhash_signatures,
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
+        # Spark-only (rows-only check):
+        "simhash_signatures": q_simhash_signatures,
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
@@ -998,6 +1047,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, b.band_id, b.band_hash
             FROM b JOIN ok USING (doc_id), cover
             WHERE cover.full_cover
+        """,
+        "verified_dup_pairs": f"""
+            WITH s AS (
+              SELECT a, b, det, method, norm_a, norm_b, sig_a, sig_b,
+                     list_distinct(
+                       CASE WHEN length(norm_a) = 0 THEN []
+                            WHEN length(norm_a) <= 5 THEN [norm_a]
+                            ELSE list_transform(range(1, length(norm_a) - 3),
+                                                i -> substr(norm_a, i, 5)) END) AS sa,
+                     list_distinct(
+                       CASE WHEN length(norm_b) = 0 THEN []
+                            WHEN length(norm_b) <= 5 THEN [norm_b]
+                            ELSE list_transform(range(1, length(norm_b) - 3),
+                                                i -> substr(norm_b, i, 5)) END) AS sb
+              FROM read_parquet('{_VERIFY_AUDIT_PATH}/*.parquet')),
+            j AS (SELECT *, len(list_intersect(sa, sb)) AS i FROM s)
+            SELECT a, b, det, method FROM j
+            WHERE (method = 'exact' AND norm_a = norm_b)
+               OR (method = 'hamming' AND bit_count(xor(sig_a, sig_b)) <= 3)
+               OR (method = 'jaccard' AND
+                   (CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 1.0
+                         WHEN len(sa) = 0 OR len(sb) = 0 THEN 0.0
+                         ELSE i::DOUBLE / (len(sa) + len(sb) - i)::DOUBLE
+                    END) >= 0.8)
+               OR (method = 'substring' AND
+                   (CASE WHEN length(norm_a) <= length(norm_b)
+                         THEN length(norm_a) >= 64 AND contains(norm_b, norm_a)
+                         ELSE length(norm_b) >= 64 AND contains(norm_a, norm_b)
+                    END))
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE und AS (
+              SELECT a, b FROM read_parquet('{_CC_EDGES_PATH}/*.parquet')
+              UNION
+              SELECT b AS a, a AS b FROM read_parquet('{_CC_EDGES_PATH}/*.parquet')),
+            walk(node, lbl) AS (
+              SELECT clip_id, clip_id FROM read_parquet('{_CC_NODES_PATH}/*.parquet')
+              UNION
+              SELECT und.b, walk.lbl FROM walk JOIN und ON und.a = walk.node)
+            SELECT node AS clip_id, min(lbl) AS cluster_id
+            FROM walk GROUP BY node
         """,
         "overlap_span_pairs": f"""
             SELECT a, b, overlap_len, off_a, off_b
