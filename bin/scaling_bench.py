@@ -54,6 +54,10 @@ import os as _os
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=sp,
                   extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+                          # UI on: the post-run executor_totals capture
+                          # reads the REST status API (session default
+                          # is ui off).
+                          "spark.ui.enabled": "true",
                           "spark.driver.memory":
                               _os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")}})
 # No repartition of the raw clips: that would shuffle the (pruned-away)
@@ -79,10 +83,36 @@ shutil.rmtree(ckpt, ignore_errors=True)
 # comparing collector configs across core counts.
 beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
 gc_sec = sum(beans.get(i).getCollectionTime() for i in range(beans.size())) / 1000.0
+# Aggregate executor metrics over every completed Spark stage (REST API):
+# constant shuffle/input BYTES across core counts proves the WORK is
+# fixed, so a rising aggregate executorRunTime at equal bytes is
+# contention (memory bandwidth / host overcommit), not extra work —
+# the per-stage evidence BASELINE.md's efficiency appendix quotes.
+agg = {{}}
+try:
+    import urllib.request
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(urllib.request.urlopen(
+        f"{{ui}}/api/v1/applications/{{app}}/stages?status=complete", timeout=10))
+    keys = {{"executorRunTime": "run_ms", "executorCpuTime": "cpu_ns",
+            "shuffleWriteBytes": "shuf_w", "shuffleReadBytes": "shuf_r",
+            "inputBytes": "input", "memoryBytesSpilled": "spill_mem",
+            "diskBytesSpilled": "spill_disk"}}
+    for s in stages:
+        for k, short in keys.items():
+            agg[short] = agg.get(short, 0) + int(s.get(k, 0) or 0)
+    if "cpu_ns" in agg:
+        agg["cpu_sec"] = round(agg.pop("cpu_ns") / 1e9, 1)
+    if "run_ms" in agg:
+        agg["run_sec"] = round(agg.pop("run_ms") / 1e3, 1)
+except Exception as e:  # metrics are best-effort; never fail the bench
+    agg = {{"error": str(e)[:200]}}
 print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
                                "rows_per_sec": n / wall,
                                "gc_sec": round(gc_sec, 1),
-                               "stage_walls": stage_walls}}))
+                               "stage_walls": stage_walls,
+                               "executor_totals": agg}}))
 """
 
 
