@@ -40,11 +40,14 @@ CHILD = r"""
 import json, sys, time, shutil, tempfile
 sys.path.insert(0, {repo!r})
 from simhash_spark.session import get_spark
-from simhash_spark.config import EngineConfig
+from simhash_spark.config import EngineConfig, partitions_for_rows
 from simhash_spark.plans.pipeline import DedupPipeline
 
 cores = {cores}
-sp = {sp} or cores * 2
+# default: DATA-sized explicit partition count (config.partitions_for_rows
+# rationale) with a cores*2 floor — measured 1.5-1.8x faster than bare
+# cores*2 at 2 and 8 cores on the 2M corpus.
+sp = {sp} or partitions_for_rows({n_rows}, floor=cores * 2)
 # 24g heap (the session default): the controlled 8-core A-B measured the
 # 2M pipeline at 1205 s with a 64 GiB heap vs 1092 s at 24 GiB (G1 both;
 # gc_sec 35.7 vs 7.1) — the oversized heap let executor-side state grow
@@ -117,9 +120,9 @@ print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
 
 
 def run_at(cores: int, clips_path: str, ckpt_base: str | None, sp: int | None = None,
-           pair_gen: str = "join") -> dict:
+           pair_gen: str = "join", n_rows: int = 2_000_000) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base,
-                        sp=sp, pair_gen=pair_gen)
+                        sp=sp, pair_gen=pair_gen, n_rows=n_rows)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -144,7 +147,8 @@ def main() -> None:
         default=None,
         help="fix spark.sql.shuffle.partitions (and the pipeline's explicit "
         "partition counts) across core counts, modeling a real cluster where "
-        "the partition count does not track executor count; default: cores*2",
+        "the partition count does not track executor count; default: "
+        "data-sized (rows/16k, floored at cores*2)",
     )
     ap.add_argument(
         "--pair-gen",
@@ -213,7 +217,7 @@ def main() -> None:
     if args.only is not None:
         print(f"running local[{args.only}] ...", file=sys.stderr)
         partials[args.only] = run_at(args.only, clips_path, ckpt_base, args.sp,
-                                     args.pair_gen)
+                                     args.pair_gen, args.rows)
         with open(partial_path, "w") as f:
             json.dump(partials, f)
         print(json.dumps(partials[args.only]))
@@ -226,7 +230,8 @@ def main() -> None:
             results[cores] = partials[cores]
             continue
         print(f"running local[{cores}] ...", file=sys.stderr)
-        results[cores] = run_at(cores, clips_path, ckpt_base, args.sp, args.pair_gen)
+        results[cores] = run_at(cores, clips_path, ckpt_base, args.sp, args.pair_gen,
+                                args.rows)
         print(f"  {results[cores]}", file=sys.stderr)
 
     lo, hi = results[args.low], results[args.high]

@@ -99,6 +99,22 @@ SDR_ACTIVE_BITS = int(SDR_SIZE * SDR_SPARSITY)  # 120
 # ---------------------------------------------------------------------------
 
 
+def partitions_for_rows(
+    n_rows: int, floor: int = 32, rows_per_partition: int = 16_000
+) -> int:
+    """Explicit shuffle-partition count sized to DATA volume, not core
+    count (north_rule: explicit partition counts). Measured at 2M docs
+    (BENCH/sp-probe-n2000000-shm.json, scaling-fixed-sp-*.json): the
+    cores*2 heuristic undersizes partitions below 32 cores — the 8-core
+    pipeline runs 683 s at 16 partitions but 389 s at 128 (the
+    candidate_pairs sort drops 333 -> 109 s), and 32 cores prefers 128
+    over 64 as well. ~16k docs/partition keeps each band-sort's run
+    ~0.8M rows (tens of MB), inside the executor's cache-friendly range,
+    and is exactly the number a real cluster would pin per-dataset while
+    executor counts scale underneath it."""
+    return max(floor, -(-n_rows // rows_per_partition))
+
+
 @dataclass
 class EngineConfig:
     """Per-run execution knobs; persisted with each run's lineage."""
