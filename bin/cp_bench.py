@@ -88,11 +88,14 @@ spark = get_spark(app=f"cp-bench-{{cores}}-{mode!r}", master=f"local[{{cores}}]"
 pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=cores * 2))
 store, cfg = pipe.store, pipe.cfg
 bands = store.read("bands")
+# mode strings compose 'join'/'agg' (pair_gen) with '+win' (window sizing)
+pg, _, sz = {mode!r}.partition("+")
 t0 = time.time()
 pairs = candidate_pairs(bands, band_group_cap=cfg.band_group_cap,
                         partitions=cores * 2,
                         max_pairs_per_group=cfg.max_pairs_per_group,
-                        pair_gen={mode!r})
+                        pair_gen=pg,
+                        sizing="window" if sz == "win" else "join")
 store.write("candidate_pairs", pairs)
 wall = time.time() - t0
 n = store.read("candidate_pairs").count()

@@ -136,6 +136,10 @@ class EngineConfig:
     #: tie inside host noise and 'join' wins at 8 cores
     #: (BENCH/pipeline-ab-pairgen-t32-n2000000.json, cp-stage-*.json).
     pair_gen: str = "join"
+    #: How candidate_pairs learns each band group's size/hub: 'join'
+    #: (groupBy sizes + SMJ back onto the band table) or 'window'
+    #: (count/min OVER (PARTITION BY bkey) — one sorted pass, no join).
+    sizing: str = "join"
     #: Connected-components max iterations (safety guard; the loop stops on
     #: convergence well before this for realistic dup-cluster diameters).
     cc_max_iters: int = 50

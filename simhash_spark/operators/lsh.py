@@ -148,6 +148,7 @@ def candidate_pairs(
     gate: bool = True,
     gram_hits_min: int = 2,
     pair_gen: str = "join",
+    sizing: str = "join",
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
@@ -183,7 +184,21 @@ def candidate_pairs(
              already diverted to star edges — the unbounded-group OOM
              hazard that rules out a naive collect_list over raw bands
              cannot occur here.
-    Both modes emit the identical (a < b) pair multiset — pytest-pinned.
+    ``sizing`` picks how each band row learns its group's size and hub:
+      'join' (default) — groupBy(bkey).count/min, then an equi-join of
+             the sizes back onto the band table. Both sides share the
+             bkey hash-partitioning, so the join adds NO exchange — but
+             it is a SortMergeJoin, i.e. a full sort of the engine's
+             biggest table plus a sort of the sizes, plus the separate
+             hash aggregation that produced them.
+      'window' — count(*)/min(clip_id) OVER (PARTITION BY bkey): ONE
+             sorted pass over the pre-partitioned band table computes
+             both annotations in place; no join, no second sort, and
+             the sizing aggregation is built only when a metrics_sink
+             actually needs the per-detector stats. Hot groups buffer
+             in WindowExec's external sorter (spills) exactly like the
+             SMJ sort buffer they replace.
+    All modes emit the identical (a < b) pair multiset — pytest-pinned.
     Measured at 2M rows (BENCH/cp-stage-n2000000.json,
     BENCH/pipeline-ab-pairgen-t32-n2000000.json): at 8 cores 'join' wins
     both isolated runs (233 s vs 272/312 s); at 32 cores a 2x2
@@ -202,18 +217,39 @@ def candidate_pairs(
 
     # One partial-aggregable pass sizes every band group and picks its hub
     # (map-side combine keeps hot keys linear — one row per key per mapper).
+    # Lazy: in 'window' sizing this is evaluated ONLY for the metrics block.
     counts = bands.groupBy(*_KEYS).agg(
         F.count("*").alias("grp_n"), F.min("clip_id").alias("hub")
     )
-    # Groups of size 1 produce no pairs — drop their rows before any join
-    # (the vast majority of band rows at realistic dup rates).
-    multi = counts.filter(F.col("grp_n") >= 2)
 
-    # Attach grp_n/hub: plain shuffle equi-join (NOT broadcast — `multi`
-    # can be billions of keys at 10^12 rows); AQE handles skew. PERSIST:
-    # three consumers (metrics agg, cold self-join x2 branches, star
-    # filter) would otherwise re-run the join per branch.
-    annotated = bands.join(multi, _KEYS, "inner").persist()
+    if sizing == "window":
+        # grp_n/hub as window aggregates over the existing bkey hash-
+        # partitioning: ClusteredDistribution(bkey) is already satisfied,
+        # so the plan is Sort(bkey) + WindowExec — one sorted pass, no
+        # join. Groups of size 1 produce no pairs — dropped in place.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*_KEYS)
+        annotated = (
+            bands.select(
+                *_KEYS,
+                "clip_id",
+                F.count(F.lit(1)).over(w).alias("grp_n"),
+                F.min("clip_id").over(w).alias("hub"),
+            )
+            .filter(F.col("grp_n") >= 2)
+            .persist()
+        )
+    else:
+        # Groups of size 1 produce no pairs — drop their rows before any
+        # join (the vast majority of band rows at realistic dup rates).
+        multi = counts.filter(F.col("grp_n") >= 2)
+        # Attach grp_n/hub: plain shuffle equi-join (NOT broadcast —
+        # `multi` can be billions of keys at 10^12 rows); AQE handles
+        # skew. PERSIST: three consumers (metrics agg, cold self-join x2
+        # branches, star filter) would otherwise re-run the join per
+        # branch.
+        annotated = bands.join(multi, _KEYS, "inner").persist()
 
     # a group is diverted to star edges if its ROW count exceeds
     # band_group_cap or its implied PAIR count n*(n-1)/2 exceeds

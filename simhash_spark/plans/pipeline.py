@@ -106,6 +106,7 @@ class DedupPipeline:
                 max_pairs_per_group=cfg.max_pairs_per_group,
                 metrics_sink=sink,
                 pair_gen=cfg.pair_gen,
+                sizing=cfg.sizing,
             )
             store.write("candidate_pairs", pairs)
         pairs = store.read("candidate_pairs")

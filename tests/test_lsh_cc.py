@@ -130,15 +130,19 @@ def test_pair_gen_agg_matches_join(spark):
     norm, sigs = _norm_sig(spark, rows)
     bands = build_bands(norm, sigs)
 
-    def snap(mode):
+    def snap(mode, sizing="join"):
         return {
             (r.a, r.b, r.det, r.mh_hits, r.gram_hits, r.starred)
             for r in candidate_pairs(
-                bands, band_group_cap=5, gate=False, pair_gen=mode
+                bands, band_group_cap=5, gate=False, pair_gen=mode, sizing=sizing
             ).collect()
         }
 
     assert snap("agg") == snap("join")
+    # 'window' sizing (count/min OVER bkey instead of the sizes join) must
+    # be pair-for-pair identical too, under both pair_gen modes.
+    assert snap("join", sizing="window") == snap("join")
+    assert snap("agg", sizing="window") == snap("join")
 
 
 def test_candidate_pairs_explicit_partitioning(spark):
