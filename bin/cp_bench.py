@@ -75,6 +75,7 @@ from simhash_spark.plans.pipeline import DedupPipeline
 from simhash_spark.operators.lsh import candidate_pairs
 
 cores = {cores}
+sp = {sp} or cores * 2
 extra = {{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
          "spark.driver.memory": "24g"}}
 if {oha}:
@@ -84,15 +85,15 @@ if {oha}:
     # groups per partition.
     extra["spark.sql.objectHashAggregate.sortBased.fallbackThreshold"] = str({oha})
 spark = get_spark(app=f"cp-bench-{{cores}}-{mode!r}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores * 2, extra=extra)
-pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=cores * 2))
+                  shuffle_partitions=sp, extra=extra)
+pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=sp))
 store, cfg = pipe.store, pipe.cfg
 bands = store.read("bands")
 # mode strings compose 'join'/'agg' (pair_gen) with '+win' (window sizing)
 pg, _, sz = {mode!r}.partition("+")
 t0 = time.time()
 pairs = candidate_pairs(bands, band_group_cap=cfg.band_group_cap,
-                        partitions=cores * 2,
+                        partitions=sp,
                         max_pairs_per_group=cfg.max_pairs_per_group,
                         pair_gen=pg,
                         sizing="window" if sz == "win" else "join")
@@ -112,6 +113,9 @@ def main() -> None:
     ap.add_argument("--modes", nargs="*", default=["join", "agg"])
     ap.add_argument("--tag", default="")
     ap.add_argument("--oha", type=int, default=0)
+    ap.add_argument("--sp", type=int, default=0,
+                    help="explicit shuffle-partition count for the measured "
+                         "stage (0 = cores*2, the pre-round-4 sizing)")
     args = ap.parse_args()
 
     clips_path = os.path.join(SHM, f"scaling-n{args.rows}-seed42", "clips.parquet")
@@ -137,7 +141,8 @@ def main() -> None:
         work = os.path.join(CKPT_BASE, f"work-{cores}-{mode}")
         shutil.rmtree(work, ignore_errors=True)
         shutil.copytree(master, work)
-        code = CHILD.format(repo=REPO, cores=cores, ckpt=work, mode=mode, oha=args.oha)
+        code = CHILD.format(repo=REPO, cores=cores, ckpt=work, mode=mode,
+                            oha=args.oha, sp=args.sp)
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                              text=True, timeout=10800, cwd=REPO)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
@@ -150,6 +155,7 @@ def main() -> None:
     counts = {r["pairs"] for r in results}
     report = {
         "rows": args.rows,
+        "sp": args.sp,
         "results": results,
         "pair_counts_identical": len(counts) == 1,
         "ts": time.time(),

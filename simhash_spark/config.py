@@ -136,10 +136,15 @@ class EngineConfig:
     #: tie inside host noise and 'join' wins at 8 cores
     #: (BENCH/pipeline-ab-pairgen-t32-n2000000.json, cp-stage-*.json).
     pair_gen: str = "join"
-    #: How candidate_pairs learns each band group's size/hub: 'join'
-    #: (groupBy sizes + SMJ back onto the band table) or 'window'
-    #: (count/min OVER (PARTITION BY bkey) — one sorted pass, no join).
-    sizing: str = "join"
+    #: How candidate_pairs learns each band group's size/hub: 'window'
+    #: (count/min OVER (PARTITION BY bkey) — one sorted pass, no join;
+    #: default) or 'join' (groupBy sizes + SMJ back onto the band table).
+    #: Interleaved fresh-JVM A/B at 2M rows / sp=128
+    #: (BENCH/cp-stage-n2000000-winab-sp128.json): window 237/212 s vs
+    #: join 714/363 s at 8 cores (2.4x, and the join mode's bimodal high
+    #: tail disappears); 328/212 vs 353/247 s at 32. Identical pair
+    #: multisets pytest-pinned.
+    sizing: str = "window"
     #: Connected-components max iterations (safety guard; the loop stops on
     #: convergence well before this for realistic dup-cluster diameters).
     cc_max_iters: int = 50

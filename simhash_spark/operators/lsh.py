@@ -148,7 +148,7 @@ def candidate_pairs(
     gate: bool = True,
     gram_hits_min: int = 2,
     pair_gen: str = "join",
-    sizing: str = "join",
+    sizing: str = "window",
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
@@ -185,19 +185,23 @@ def candidate_pairs(
              hazard that rules out a naive collect_list over raw bands
              cannot occur here.
     ``sizing`` picks how each band row learns its group's size and hub:
-      'join' (default) — groupBy(bkey).count/min, then an equi-join of
-             the sizes back onto the band table. Both sides share the
-             bkey hash-partitioning, so the join adds NO exchange — but
-             it is a SortMergeJoin, i.e. a full sort of the engine's
+      'window' (default) — count(*)/min(clip_id) OVER (PARTITION BY
+             bkey): ONE sorted pass over the pre-partitioned band table
+             computes both annotations in place; no join, no second
+             sort, and the sizing aggregation is built only when a
+             metrics_sink actually needs the per-detector stats. Hot
+             groups buffer in WindowExec's external sorter (spills)
+             exactly like the SMJ sort buffer they replace. Interleaved
+             fresh-JVM A/B at 2M rows / sp=128
+             (BENCH/cp-stage-n2000000-winab-sp128.json): 237/212 s vs
+             join's 714/363 s at 8 cores — 2.4x, with the join mode's
+             bimodal high tail gone — and 328/212 vs 353/247 s at 32.
+      'join' — groupBy(bkey).count/min, then an equi-join of the sizes
+             back onto the band table. Both sides share the bkey
+             hash-partitioning, so the join adds NO exchange — but it
+             is a SortMergeJoin, i.e. a full sort of the engine's
              biggest table plus a sort of the sizes, plus the separate
              hash aggregation that produced them.
-      'window' — count(*)/min(clip_id) OVER (PARTITION BY bkey): ONE
-             sorted pass over the pre-partitioned band table computes
-             both annotations in place; no join, no second sort, and
-             the sizing aggregation is built only when a metrics_sink
-             actually needs the per-detector stats. Hot groups buffer
-             in WindowExec's external sorter (spills) exactly like the
-             SMJ sort buffer they replace.
     All modes emit the identical (a < b) pair multiset — pytest-pinned.
     Measured at 2M rows (BENCH/cp-stage-n2000000.json,
     BENCH/pipeline-ab-pairgen-t32-n2000000.json): at 8 cores 'join' wins
