@@ -68,7 +68,8 @@ spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 clips = spark.read.parquet({clips_path!r})
 ckpt = tempfile.mkdtemp(prefix=f"scaling-ckpt-{{cores}}-", dir={ckpt_base!r})
 t0 = time.time()
-pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=sp, pair_gen={pair_gen!r}))
+pipe = DedupPipeline(spark, ckpt, EngineConfig(partitions=sp, pair_gen={pair_gen!r},
+                                               sizing={sizing!r}))
 clusters = pipe.run(clips)
 n = clusters.count()
 wall = time.time() - t0
@@ -119,10 +120,21 @@ print("RESULT " + json.dumps({{"cores": cores, "rows": n, "wall_sec": wall,
 """
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the guest-visible trace of
+    hypervisor contention. A leg whose steal%% is elevated ran on a
+    throttled host; its wall is not comparable to a clean leg's."""
+    vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_at(cores: int, clips_path: str, ckpt_base: str | None, sp: int | None = None,
-           pair_gen: str = "join", n_rows: int = 2_000_000) -> dict:
+           pair_gen: str = "join", n_rows: int = 2_000_000,
+           sizing: str = "window") -> dict:
     code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt_base=ckpt_base,
-                        sp=sp, pair_gen=pair_gen, n_rows=n_rows)
+                        sp=sp, pair_gen=pair_gen, n_rows=n_rows, sizing=sizing)
+    s0, t0 = _cpu_jiffies()
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -130,9 +142,15 @@ def run_at(cores: int, clips_path: str, ckpt_base: str | None, sp: int | None = 
         timeout=10800,
         cwd=REPO,
     )
+    s1, t1 = _cpu_jiffies()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            # steal%% over THIS leg's window (all 32 host threads count
+            # toward total, so even a few %% here means heavy throttling
+            # of the active cores).
+            r["host_steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+            return r
     raise RuntimeError(f"child at local[{cores}] failed:\n{out.stderr[-3000:]}")
 
 
@@ -155,6 +173,13 @@ def main() -> None:
         default="join",
         choices=["agg", "join"],
         help="candidate_pairs cold-path expansion (EngineConfig.pair_gen) "
+        "for pipeline-level A-B runs",
+    )
+    ap.add_argument(
+        "--sizing",
+        default="window",
+        choices=["window", "join"],
+        help="candidate_pairs group-sizing mode (EngineConfig.sizing) "
         "for pipeline-level A-B runs",
     )
     ap.add_argument(
@@ -217,7 +242,7 @@ def main() -> None:
     if args.only is not None:
         print(f"running local[{args.only}] ...", file=sys.stderr)
         partials[args.only] = run_at(args.only, clips_path, ckpt_base, args.sp,
-                                     args.pair_gen, args.rows)
+                                     args.pair_gen, args.rows, args.sizing)
         with open(partial_path, "w") as f:
             json.dump(partials, f)
         print(json.dumps(partials[args.only]))
@@ -231,7 +256,7 @@ def main() -> None:
             continue
         print(f"running local[{cores}] ...", file=sys.stderr)
         results[cores] = run_at(cores, clips_path, ckpt_base, args.sp, args.pair_gen,
-                                args.rows)
+                                args.rows, args.sizing)
         print(f"  {results[cores]}", file=sys.stderr)
 
     lo, hi = results[args.low], results[args.high]
