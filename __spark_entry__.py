@@ -590,6 +590,8 @@ _BANDS_AUDIT_PATH = os.path.join(_SIDE_DIR, "bands_audit.parquet")
 _VERIFY_AUDIT_PATH = os.path.join(_SIDE_DIR, "verify_audit.parquet")
 _CC_NODES_PATH = os.path.join(_SIDE_DIR, "cc_nodes.parquet")
 _CC_EDGES_PATH = os.path.join(_SIDE_DIR, "cc_edges.parquet")
+_AUDIO_FP_AUDIT_PATH = os.path.join(_SIDE_DIR, "audio_fp_audit.parquet")
+_SRP_CAND_PATH = os.path.join(_SIDE_DIR, "srp_candidates.parquet")
 
 
 def q_verified_hamming_pairs(spark, sf_dir):
@@ -713,13 +715,20 @@ def q_audio_features(spark, sf_dir):
 
 
 def q_audio_dup_pairs(spark, sf_dir):
-    """Audio-PAYLOAD dedup (Haitsma-Kalker perceptual fingerprint,
-    functions/audio.py): finds re-gained + re-noised copies whose BYTES
-    differ (exact hashing misses them). Deterministic synth corpus with
-    3 planted perturbed copies; sf_dir unused (audio lives off-table)."""
+    """ORACLE-CHECKED audio-PAYLOAD dedup (Haitsma-Kalker perceptual
+    fingerprint, functions/audio.py): finds re-gained + re-noised copies
+    whose BYTES differ (exact hashing misses them). Deterministic synth
+    corpus with 3 planted perturbed copies; sf_dir unused (audio lives
+    off-table). The fingerprint kernel (STFT band energies) has no SQL
+    equivalent, but the MATCH RULE does: the candidate pairs are
+    materialized WITH both clips' full fingerprint sequences to a side
+    parquet, the BER verify (xor + bit_count over aligned frames,
+    ber < 0.25) runs JVM-side, and DuckDB re-applies the identical rule
+    over the same file — a disagreement in the alignment/popcount/
+    threshold logic fails the compare."""
     import numpy as np
 
-    from simhash_spark.functions.audio import audio_dup_pairs
+    from simhash_spark.functions.audio import audio_dup_candidates, ber_verify
     from simhash_spark.sources.synth import decode_wav, make_clips, wav_bytes
 
     rng = np.random.default_rng(4)
@@ -732,7 +741,11 @@ def q_audio_dup_pairs(spark, sf_dir):
         pert = (s * 0.82 + rng.normal(0, 60, len(s))).clip(-32768, 32767)
         rows.append((f"pert-{i}", wav_bytes(pert.astype(np.int16), sr)))
     df = spark.createDataFrame(rows, "clip_id string, bytes binary")
-    return audio_dup_pairs(df).select("a", "b", "ber")
+    cand = audio_dup_candidates(df)
+    cand.write.mode("overwrite").parquet(_AUDIO_FP_AUDIT_PATH)
+    release_persisted(cand)
+    side = spark.read.parquet(_AUDIO_FP_AUDIT_PATH)
+    return ber_verify(side).select("a", "b", "ber")
 
 
 def q_token_count_regex(spark, sf_dir):
@@ -811,12 +824,18 @@ def q_classifier_train_eval(spark, sf_dir):
 
 
 def q_srp_ann_topk(spark, sf_dir):
-    """LSH-bucketed (sign-random-projection) ANN top-k — the scale path
-    next to the oracle-checked brute-force cosine_topk. Bucket width is
+    """ORACLE-CHECKED LSH-bucketed (sign-random-projection) ANN top-k —
+    the scale path next to the brute-force cosine_topk. Bucket width is
     sized to the corpus (2^n_bits ~ n/32) and multiprobe-1 probes the
     n_bits one-bit-off buckets per table: recall@10 = 1.0 vs brute force
-    at sf0.001/sf0.01 (pytest-gated >= 0.9, tests/test_ann.py)."""
-    from simhash_spark.operators.ann import srp_bucket_topk
+    at sf0.001/sf0.01 (pytest-gated >= 0.9, tests/test_ann.py). The SRP
+    hash kernel has no SQL equivalent, but the RERANK RULE does: the
+    deduped bucket-probe candidate set is materialized to a side
+    parquet, Spark reranks it by exact cosine (top-10, ties -> vec_id
+    asc), and DuckDB reranks the SAME candidate set from the embeddings
+    table with the identical formula — a wrong cosine or rank order
+    fails the compare."""
+    from simhash_spark.operators.ann import srp_candidates, srp_rerank_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
@@ -824,9 +843,10 @@ def q_srp_ann_topk(spark, sf_dir):
     )
     # dim=None: planes are regenerated deterministically inside the UDF
     # from the batch's own width — no driver action before planning.
-    return srp_bucket_topk(
-        e, q, k=10, n_bits=4, n_tables=16, multiprobe=1
-    ).select("query_id", "vec_id", "rnk")
+    cand = srp_candidates(e, q, n_bits=4, n_tables=16, multiprobe=1)
+    cand.write.mode("overwrite").parquet(_SRP_CAND_PATH)
+    side = spark.read.parquet(_SRP_CAND_PATH)
+    return srp_rerank_topk(side, e, q, k=10).select("query_id", "vec_id", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -1113,5 +1133,47 @@ def oracle_sql() -> dict[str, str]:
                            6) AS jaccard
               FROM sh a JOIN sh b ON a.id < b.id)
             WHERE jaccard >= 0.8
+        """,
+        # BER match rule over the side-parquet fingerprint pairs (the
+        # HK STFT kernel has no SQL equivalent; the xor/popcount/
+        # threshold rule does — same idiom as verified_hamming_pairs).
+        "audio_dup_pairs": f"""
+            WITH scored AS (
+              SELECT a, b,
+                     least(len(fps_a), len(fps_b)) AS n_cmp,
+                     list_sum(list_transform(
+                       range(1, least(len(fps_a), len(fps_b)) + 1),
+                       i -> bit_count(xor(fps_a[i], fps_b[i])))) AS bad_bits
+              FROM read_parquet('{_AUDIO_FP_AUDIT_PATH}/*.parquet'))
+            SELECT a, b,
+                   round(bad_bits::DOUBLE / (n_cmp * 16)::DOUBLE, 6) AS ber
+            FROM scored
+            WHERE bad_bits::DOUBLE / (n_cmp * 16)::DOUBLE < 0.25
+        """,
+        # Exact-cosine rerank of the side-parquet SRP candidate set (the
+        # SRP hash kernel has no SQL equivalent; given the candidate set
+        # the top-k rule does). Queries are embeddings vec_id < 3, same
+        # as q_srp_ann_topk.
+        "srp_ann_topk": f"""
+            WITH ed AS (SELECT vec_id,
+                               list_transform(embedding, x -> x::DOUBLE) AS emb
+                        FROM embeddings),
+                 cand AS (SELECT query_id, vec_id
+                          FROM read_parquet('{_SRP_CAND_PATH}/*.parquet')),
+                 q AS (SELECT vec_id AS query_id, emb AS qemb FROM ed
+                       WHERE vec_id < 3),
+                 scored AS (
+                   SELECT c.query_id, c.vec_id,
+                          list_dot_product(v.emb, q.qemb)
+                          / (sqrt(list_dot_product(v.emb, v.emb))
+                             * sqrt(list_dot_product(q.qemb, q.qemb))) AS sim
+                   FROM cand c JOIN ed v ON c.vec_id = v.vec_id
+                   JOIN q ON c.query_id = q.query_id)
+            SELECT query_id, vec_id, rnk FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rnk
+              FROM scored)
+            WHERE rnk <= 10
         """,
     }

@@ -174,15 +174,17 @@ def audio_fingerprints(df):
     return df.select("clip_id", "bytes").mapInPandas(op, schema=_FP_SCHEMA)
 
 
-def audio_dup_pairs(
+def audio_dup_candidates(
     clips,
-    ber_max: float = 0.25,
     key_group_cap: int = 2000,
     min_shared_keys: int = 2,
     len_bucket_frames: int = 128,
     metrics_sink=None,
 ):
-    """Audio-content near-dup pairs: (a, b, ber) with a < b.
+    """The candidate half of ``audio_dup_pairs``: (a, b, fps_a, fps_b)
+    with a < b — sub-fingerprint-collision pairs carrying both clips'
+    full fingerprint sequences, so the BER verify rule can be re-applied
+    relationally (the side-parquet oracle idiom).
 
     Same candidate->verify shape as the text detectors:
       candidates — equi self-join on per-frame 16-bit sub-fingerprints
@@ -242,6 +244,17 @@ def audio_dup_pairs(
     )
     fa = fps.select(F.col("clip_id").alias("a"), F.col("fps").alias("fps_a"))
     fb = fps.select(F.col("clip_id").alias("b"), F.col("fps").alias("fps_b"))
+    out = cand.join(fa, "a").join(fb, "b").select("a", "b", "fps_a", "fps_b")
+    from simhash_spark.util import track_persisted
+
+    return track_persisted(out, [fps, sizes])
+
+
+def ber_verify(cand, ber_max: float = 0.25):
+    """The verify half of ``audio_dup_pairs``: HK bit-error-rate over the
+    aligned fingerprint sequences, ENTIRELY JVM-side (zip_with + xor +
+    bit_count). Input (a, b, fps_a, fps_b); output (a, b, ber) with
+    ber < ``ber_max`` (round 6)."""
     n_cmp = F.least(F.size("fps_a"), F.size("fps_b"))
     bad_bits = F.aggregate(
         F.zip_with(
@@ -252,16 +265,38 @@ def audio_dup_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    out = (
-        cand.join(fa, "a")
-        .join(fb, "b")
-        .withColumn("ber", bad_bits.cast("double") / (n_cmp * 16).cast("double"))
+    return (
+        cand.withColumn("ber", bad_bits.cast("double") / (n_cmp * 16).cast("double"))
         .filter(F.col("ber") < ber_max)
         .select("a", "b", F.round("ber", 6).alias("ber"))
     )
+
+
+def audio_dup_pairs(
+    clips,
+    ber_max: float = 0.25,
+    key_group_cap: int = 2000,
+    min_shared_keys: int = 2,
+    len_bucket_frames: int = 128,
+    metrics_sink=None,
+):
+    """Audio-content near-dup pairs: (a, b, ber) with a < b — see
+    ``audio_dup_candidates`` (sub-fingerprint + duration-bucket LSH) and
+    ``ber_verify`` (HK match rule) for the two halves."""
     from simhash_spark.util import track_persisted
 
-    return track_persisted(out, [fps, sizes])
+    cand = audio_dup_candidates(
+        clips,
+        key_group_cap=key_group_cap,
+        min_shared_keys=min_shared_keys,
+        len_bucket_frames=len_bucket_frames,
+        metrics_sink=metrics_sink,
+    )
+    # re-home the candidates' persist handles onto the verified output so
+    # releasing()/CheckpointStore.write frees them (ADVICE r2 contract).
+    return track_persisted(
+        ber_verify(cand, ber_max=ber_max), getattr(cand, "_persisted_deps", [])
+    )
 
 
 def transcode(df, target_codec: str):

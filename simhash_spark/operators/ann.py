@@ -194,24 +194,19 @@ def srp_buckets(
     )
 
 
-def srp_bucket_topk(
+def srp_candidates(
     vectors: DataFrame,
     queries: DataFrame,
     dim: int | None = None,
-    k: int = 10,
     n_bits: int = 12,
     n_tables: int = 4,
     multiprobe: int = 0,
 ) -> DataFrame:
-    """LSH-bucketed ANN: probe only same-bucket candidates, exact cosine
-    on the candidates, per-query top-k. Recall grows with n_tables /
-    shrinks with n_bits (standard SRP tradeoff). ``multiprobe=1`` probes
-    every bucket at Hamming distance <= 1 from each query bucket
-    (n_bits extra probes/table — the classic multi-probe LSH recall
-    boost at a fraction of the cost of more tables). Size n_bits so
-    2^n_bits ~ n_vectors / desired_bucket_size."""
-    from pyspark.sql import Window as W
-
+    """The LSH half of ``srp_bucket_topk``: the deduped bucket-probe
+    candidate set (query_id, vec_id). Exposed separately so callers can
+    audit the exact-cosine rerank relationally (the side-parquet oracle
+    idiom — the hash kernel itself has no SQL equivalent, but given the
+    candidate set, the rerank rule does)."""
     vb = srp_buckets(vectors, "vec_id", dim, n_bits, n_tables)
     qb = srp_buckets(queries, "query_id", dim, n_bits, n_tables)
     if multiprobe >= 1:
@@ -228,11 +223,20 @@ def srp_bucket_topk(
             "table_id",
             F.col("bucket").bitwiseXOR(F.col("_flip")).alias("bucket"),
         )
-    cand = (
+    return (
         vb.join(qb, ["table_id", "bucket"], "inner")
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
+
+
+def srp_rerank_topk(
+    cand: DataFrame, vectors: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact-cosine rerank of a candidate set: per-query top-k by
+    (sim desc, vec_id asc) — the deterministic half of srp_bucket_topk."""
+    from pyspark.sql import Window as W
+
     v = vectors.select("vec_id", _as_double("embedding").alias("emb"))
     q = queries.select("query_id", _as_double("embedding").alias("qemb"))
     scored = (
@@ -245,3 +249,23 @@ def srp_bucket_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def srp_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int | None = None,
+    k: int = 10,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """LSH-bucketed ANN: probe only same-bucket candidates, exact cosine
+    on the candidates, per-query top-k. Recall grows with n_tables /
+    shrinks with n_bits (standard SRP tradeoff). ``multiprobe=1`` probes
+    every bucket at Hamming distance <= 1 from each query bucket
+    (n_bits extra probes/table — the classic multi-probe LSH recall
+    boost at a fraction of the cost of more tables). Size n_bits so
+    2^n_bits ~ n_vectors / desired_bucket_size."""
+    cand = srp_candidates(vectors, queries, dim, n_bits, n_tables, multiprobe)
+    return srp_rerank_topk(cand, vectors, queries, k=k)
