@@ -44,12 +44,13 @@ from simhash_spark.plans.pipeline import DedupPipeline
 from simhash_spark.operators.lsh import build_bands, candidate_pairs
 
 cores = 32
+sp = {sp} or cores * 2
 spark = get_spark(app="verify-prep", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores * 2,
+                  shuffle_partitions=sp,
                   extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
                           "spark.driver.memory": "24g"}})
 clips = spark.read.parquet({clips_path!r})
-pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=cores * 2))
+pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=sp))
 store, cfg = pipe.store, pipe.cfg
 spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch))
 from simhash_spark.functions.signatures import profile_udf
@@ -60,14 +61,15 @@ if not store.is_committed("profile"):
     store.write("profile", profile)
 profile = store.read("profile")
 if not store.is_committed("bands"):
-    store.write("bands", build_bands(profile.repartition(cores * 2), profile,
+    store.write("bands", build_bands(profile.repartition(sp), profile,
                                      detectors=cfg.detectors))
 bands = store.read("bands")
 if not store.is_committed("candidate_pairs"):
     store.write("candidate_pairs",
                 candidate_pairs(bands, band_group_cap=cfg.band_group_cap,
-                                partitions=cores * 2,
-                                max_pairs_per_group=cfg.max_pairs_per_group))
+                                partitions=sp,
+                                max_pairs_per_group=cfg.max_pairs_per_group,
+                                sizing=cfg.sizing))
 print("PREP_DONE", round(time.time() - t0, 1))
 """
 
@@ -79,12 +81,13 @@ from simhash_spark.config import EngineConfig
 from simhash_spark.plans.pipeline import DedupPipeline
 
 cores = {cores}
+sp = {sp} or cores * 2
 spark = get_spark(app=f"verify-bench-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores * 2,
+                  shuffle_partitions=sp,
                   extra={{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
                           "spark.driver.memory": "24g"}})
 clips = spark.read.parquet({clips_path!r})
-pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=cores * 2))
+pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=sp))
 t0 = time.time()
 pipe.run(clips)
 wall = time.time() - t0
@@ -103,6 +106,7 @@ def main() -> None:
     ap.add_argument("--prep", action="store_true")
     ap.add_argument("--cores", type=int, nargs="*", default=[])
     ap.add_argument("--tag", default="")
+    ap.add_argument("--sp", type=int, default=0)
     args = ap.parse_args()
 
     clips_path = os.path.join(SHM, f"scaling-n{args.rows}-seed42", "clips.parquet")
@@ -112,7 +116,7 @@ def main() -> None:
     if args.prep:
         shutil.rmtree(master, ignore_errors=True)
         os.makedirs(master, exist_ok=True)
-        code = PREP.format(repo=REPO, clips_path=clips_path, ckpt=master)
+        code = PREP.format(repo=REPO, clips_path=clips_path, ckpt=master, sp=args.sp)
         t0 = time.time()
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                              text=True, timeout=10800, cwd=REPO)
@@ -127,7 +131,7 @@ def main() -> None:
         work = os.path.join(CKPT_BASE, f"work-{cores}")
         shutil.rmtree(work, ignore_errors=True)
         shutil.copytree(master, work)
-        code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt=work)
+        code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, ckpt=work, sp=args.sp)
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                              text=True, timeout=10800, cwd=REPO)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]

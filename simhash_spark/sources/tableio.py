@@ -69,6 +69,22 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
         return False
 
 
+def stage_gc_enabled(master: str) -> bool:
+    """Whether the between-stage JVM breather runs at stage commit.
+
+    Default: ON for local masters only — through py4j ``System.gc()``
+    reaches just the driver JVM, which in local mode IS the executor
+    (where the measured win lives) but on a real cluster is only the
+    driver (executors have their own collectors; the call would be a
+    pointless driver pause). ``SPARK_GRAFT_STAGE_GC=1/0`` overrides in
+    either direction.
+    """
+    gc_env = os.environ.get("SPARK_GRAFT_STAGE_GC")
+    if gc_env is not None:
+        return gc_env not in ("", "0")
+    return master.startswith("local")
+
+
 class CheckpointStore:
     """``catalog=None`` (default) -> parquet-manifest backend (this file).
     ``catalog='name'`` -> Iceberg tables ``{catalog}.{namespace}.{stage}``
@@ -186,6 +202,23 @@ class CheckpointStore:
         # NOTE: older data-<token> dirs are NOT deleted here — like Iceberg
         # snapshots, readers holding the previous version must keep working
         # until an explicit vacuum().
+        # Between-stage breather: in LOCAL mode the driver and all executor
+        # threads share ONE JVM, and a stage that just churned a multi-GB
+        # shuffle leaves the heap fragmented for the next stage. Measured
+        # at 2M rows (BENCH/pipeline-ab-stagegc-t8-n2000000.json): the
+        # in-pipeline verify stage ran 68.5-71.9 s in the JVM that
+        # candidate_pairs had just churned vs 47.7-51.0 s with a stage-
+        # boundary System.gc() — which matches the 54.1 s a FRESH JVM
+        # scores on the identical committed input. ~1 s per boundary.
+        # Default ON for local masters only: through py4j System.gc()
+        # reaches just the driver JVM, so on a real cluster it would GC
+        # the driver while executors (separate JVMs with their own
+        # collectors) are unaffected. SPARK_GRAFT_STAGE_GC=1/0 overrides.
+        if stage_gc_enabled(self.spark.sparkContext.master):
+            try:
+                self.spark.sparkContext._jvm.System.gc()
+            except Exception:  # non-JVM test doubles
+                pass
         self.append_lineage(
             {
                 "event": "stage_commit",

@@ -69,3 +69,19 @@ def test_iceberg_backend_gated(spark, tmp_path):
 
     with _pytest.raises(IcebergUnavailable):
         CheckpointStore(spark, str(tmp_path), catalog="lake")
+
+
+def test_stage_gc_gating(monkeypatch):
+    from simhash_spark.sources.tableio import stage_gc_enabled
+
+    # default: on for local masters (driver JVM == executor), off on a cluster
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_GC", raising=False)
+    assert stage_gc_enabled("local[8]")
+    assert stage_gc_enabled("local[*]")
+    assert not stage_gc_enabled("spark://host:7077")
+    assert not stage_gc_enabled("yarn")
+    # explicit override wins in both directions
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_GC", "0")
+    assert not stage_gc_enabled("local[8]")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_GC", "1")
+    assert stage_gc_enabled("yarn")
