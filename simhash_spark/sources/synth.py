@@ -12,6 +12,7 @@ SNR >= 30 dB invariant is checkable with stdlib+numpy only.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -114,13 +115,16 @@ def make_clips(
     n: int,
     seed: int = 42,
     dur_ms_range: tuple[int, int] = (500, 3000),
+    id_offset: int = 0,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Build (clips, truth_pairs) pandas frames.
 
     Row mix per FIXTURES.md §1: ~5% exact dups, ~5% char-level near dups,
     ~5% token-level near dups, ~3% substring dups, ~2% hot-band adversary
     (shared one-word transcripts), remainder singletons. ``n`` counts
-    TOTAL rows (base + planted).
+    TOTAL rows (base + planted). ``id_offset`` shifts the numeric part of
+    every clip_id so independently generated shards (sharded writer
+    below) stay globally unique.
     """
     rng = np.random.Generator(np.random.PCG64(seed))
     vocab = _make_vocab(rng)
@@ -139,7 +143,7 @@ def make_clips(
     truth: list[tuple[str, str, str]] = []
 
     def add_row(i: int, transcript: str, raw: bytes | None, sr: int, dur: int) -> str:
-        cid = f"clip-{i:010d}"
+        cid = f"clip-{i + id_offset:010d}"
         if raw is None:
             raw = _synth_audio(rng, sr, dur)
         rows.append(
@@ -248,3 +252,78 @@ def write_clips_parquet(
         pa.Table.from_pandas(truth, preserve_index=False),
         os.path.join(out_dir, "truth_pairs.parquet"),
     )
+
+
+_CLIPS_SCHEMA_FIELDS = [
+    ("clip_id", "string"),
+    ("bytes", "binary"),
+    ("sr_hz", "int32"),
+    ("dur_ms", "int32"),
+    ("codec", "string"),
+    ("transcript", "string"),
+]
+
+
+def _write_shard(args: tuple) -> int:
+    """Worker: generate ONE shard and write it straight to its part file
+    (module-level so multiprocessing can pickle it; returns row count)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir, k, shard_rows, seed, dur_ms_range = args
+    clips, truth = make_clips(
+        shard_rows, seed=seed + k, dur_ms_range=dur_ms_range, id_offset=k * shard_rows
+    )
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in _CLIPS_SCHEMA_FIELDS])
+    pq.write_table(
+        pa.Table.from_pandas(clips, schema=schema, preserve_index=False),
+        os.path.join(out_dir, "clips.parquet", f"part-{k:05d}.parquet"),
+        row_group_size=8192,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(truth, preserve_index=False),
+        os.path.join(out_dir, "truth_pairs.parquet", f"part-{k:05d}.parquet"),
+    )
+    return len(clips)
+
+
+def write_clips_parquet_sharded(
+    out_dir: str,
+    n: int,
+    shard_rows: int = 500_000,
+    seed: int = 42,
+    workers: int = 8,
+    dur_ms_range: tuple[int, int] = (500, 3000),
+) -> None:
+    """Sharded corpus writer for sizes that cannot be held in one pandas
+    frame (8M rows ≈ 44 GB of audio bytes). Each FIXED-SIZE shard is an
+    independent ``make_clips(shard_rows, seed+k)`` with offset clip_ids,
+    written as ``clips.parquet/part-k.parquet`` (a directory Spark reads
+    exactly like the single file).
+
+    Fixed shard size is the point: every corpus size has the SAME
+    per-shard dup mix and the SAME hot-band group size, so a data-scaling
+    series compares corpora that grow by TILING the distribution — the
+    way a real 100 TB corpus grows — instead of changing the workload
+    shape with n. Cross-shard duplicates don't exist (distinct seeds,
+    disjoint vocab draws), matching the per-shard truth tables.
+
+    ``n`` must be a multiple of ``shard_rows``. Shards are generated in
+    parallel processes, each streaming straight to its own part file, so
+    peak RAM is ``workers × shard_rows`` rows.
+    """
+    import multiprocessing as mp
+
+    if n % shard_rows:
+        raise ValueError(f"n={n} not a multiple of shard_rows={shard_rows}")
+    n_shards = n // shard_rows
+    os.makedirs(os.path.join(out_dir, "clips.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "truth_pairs.parquet"), exist_ok=True)
+    jobs = [(out_dir, k, shard_rows, seed, dur_ms_range) for k in range(n_shards)]
+    # fork, not spawn: workers inherit the loaded module directly (spawn
+    # re-imports __main__, which deadlocks under stdin-script callers),
+    # and the generator is pure numpy/pandas compute — no JVM/thread
+    # state to make fork unsafe.
+    with mp.get_context("fork").Pool(min(workers, n_shards)) as pool:
+        counts = pool.map(_write_shard, jobs)
+    assert sum(counts) == n
