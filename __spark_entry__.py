@@ -592,6 +592,7 @@ _CC_NODES_PATH = os.path.join(_SIDE_DIR, "cc_nodes.parquet")
 _CC_EDGES_PATH = os.path.join(_SIDE_DIR, "cc_edges.parquet")
 _AUDIO_FP_AUDIT_PATH = os.path.join(_SIDE_DIR, "audio_fp_audit.parquet")
 _SRP_CAND_PATH = os.path.join(_SIDE_DIR, "srp_candidates.parquet")
+_IVF_CAND_PATH = os.path.join(_SIDE_DIR, "ivf_candidates.parquet")
 
 
 def q_verified_hamming_pairs(spark, sf_dir):
@@ -849,6 +850,34 @@ def q_srp_ann_topk(spark, sf_dir):
     return srp_rerank_topk(side, e, q, k=10).select("query_id", "vec_id", "rnk")
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """ORACLE-CHECKED IVF (inverted-file) ANN top-k — the data-adapted
+    scale path next to srp_ann_topk's hash-based one. A spherical
+    k-means codebook (bounded seeded sample, the FAISS IVF training
+    discipline) assigns every vector to one cell; queries probe their
+    nprobe nearest cells; exact cosine reranks. The k-means kernel has
+    no SQL equivalent, but — same side-parquet idiom as srp_ann_topk —
+    the deduped cell-probe candidate set is materialized and DuckDB
+    reranks the SAME candidates with the identical cosine/top-10 rule,
+    so a wrong similarity or rank order fails the compare. Recall vs
+    brute force is pytest-gated in tests/test_ann.py."""
+    from simhash_spark.operators.ann import (
+        ivf_candidates,
+        ivf_train_centroids,
+        srp_rerank_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_train_centroids(e, n_cells=16)
+    cand = ivf_candidates(e, q, cents, nprobe=4)
+    cand.write.mode("overwrite").parquet(_IVF_CAND_PATH)
+    side = spark.read.parquet(_IVF_CAND_PATH)
+    return srp_rerank_topk(side, e, q, k=10).select("query_id", "vec_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -885,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "classifier_train_eval": q_classifier_train_eval,
     }
 
@@ -1160,6 +1190,30 @@ def oracle_sql() -> dict[str, str]:
                         FROM embeddings),
                  cand AS (SELECT query_id, vec_id
                           FROM read_parquet('{_SRP_CAND_PATH}/*.parquet')),
+                 q AS (SELECT vec_id AS query_id, emb AS qemb FROM ed
+                       WHERE vec_id < 3),
+                 scored AS (
+                   SELECT c.query_id, c.vec_id,
+                          list_dot_product(v.emb, q.qemb)
+                          / (sqrt(list_dot_product(v.emb, v.emb))
+                             * sqrt(list_dot_product(q.qemb, q.qemb))) AS sim
+                   FROM cand c JOIN ed v ON c.vec_id = v.vec_id
+                   JOIN q ON c.query_id = q.query_id)
+            SELECT query_id, vec_id, rnk FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rnk
+              FROM scored)
+            WHERE rnk <= 10
+        """,
+        # IVF rerank oracle: identical rule to srp_ann_topk, over the
+        # IVF cell-probe candidate side parquet.
+        "ivf_ann_topk": f"""
+            WITH ed AS (SELECT vec_id,
+                               list_transform(embedding, x -> x::DOUBLE) AS emb
+                        FROM embeddings),
+                 cand AS (SELECT query_id, vec_id
+                          FROM read_parquet('{_IVF_CAND_PATH}/*.parquet')),
                  q AS (SELECT vec_id AS query_id, emb AS qemb FROM ed
                        WHERE vec_id < 3),
                  scored AS (

@@ -144,3 +144,50 @@ def test_srp_buckets_deterministic(spark, emb_df):
     b1 = sorted(map(tuple, srp_buckets(df, "vec_id", 32, 8, 2).collect()))
     b2 = sorted(map(tuple, srp_buckets(df, "vec_id", 32, 8, 2).collect()))
     assert b1 == b2
+
+
+def test_ivf_nprobe_all_cells_is_exact(spark, emb_df):
+    """nprobe == n_cells degenerates IVF to brute force: every query
+    probes every cell, so the candidate set is the full corpus and the
+    exact-cosine rerank must equal cosine_topk_bruteforce row for row."""
+    from simhash_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
+
+    df, base = emb_df
+    q = df.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    exact = cosine_topk_bruteforce(df, q, k=5).collect()
+    got = ivf_topk(df, q, n_cells=8, nprobe=8, k=5).collect()
+    assert {(r.query_id, r.vec_id, r.rnk) for r in got} == {
+        (r.query_id, r.vec_id, r.rnk) for r in exact
+    }
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    from simhash_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
+
+    df, base = emb_df
+    q = df.filter("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = cosine_topk_bruteforce(df, q, k=5).collect()
+    approx = ivf_topk(df, q, n_cells=16, nprobe=4, k=5).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    ap = {(r.query_id, r.vec_id) for r in approx}
+    assert len(ex & ap) / len(ex) >= 0.6  # 4/16 cells probed, seeded corpus
+    assert (0, 1) in ap or (0, 2) in ap  # a planted neighbor of q0 survives
+
+
+def test_ivf_centroids_deterministic_and_probe_bounded(spark, emb_df):
+    """Same input -> byte-identical codebook (seeded sample + seeded
+    k-means), and the candidate set is genuinely sub-linear: probing 1
+    of 16 cells must touch well under half the corpus per query."""
+    from simhash_spark.operators.ann import ivf_candidates, ivf_train_centroids
+
+    df, base = emb_df
+    c1 = ivf_train_centroids(df, 16)
+    c2 = ivf_train_centroids(df, 16)
+    assert c1.shape == (16, 32) and np.array_equal(c1, c2)
+    # unit-normalized codebook
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    q = df.filter("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    cand = ivf_candidates(df, q, c1, nprobe=1)
+    per_q = cand.groupBy("query_id").count().collect()
+    assert all(r["count"] < 150 for r in per_q)  # < half of 300 vectors
