@@ -48,6 +48,7 @@ HEADLINE = [
     "cosine_topk",
     "cosine_neardup_pairs",
     "srp_ann_topk",
+    "ivf_ann_topk",
     "doc_dup_clusters",
 ]
 

@@ -45,7 +45,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--sizes", default="500000,2000000,8000000")
     ap.add_argument("--shard-rows", type=int, default=500_000)
-    ap.add_argument("--gen-workers", type=int, default=8)
+    # 4, not 8: a 500k-row shard transiently peaks ~10 GB in its worker
+    # (rows list + pandas + arrow copies), and the 8M corpus already
+    # holds 44 GB of tmpfs while the last waves generate — 4 workers
+    # keeps peak RSS + tmpfs inside the 126 GB box.
+    ap.add_argument("--gen-workers", type=int, default=4)
     ap.add_argument("--keep", action="store_true", help="keep corpora after their leg")
     ap.add_argument("--tag", default="t8")
     args = ap.parse_args()
