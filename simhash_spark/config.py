@@ -66,6 +66,25 @@ SUBSTR_MIN_LEN = 64
 GRAM_K = 16
 GRAM_STRIDE = 8
 
+#: Minhash signature scheme.
+#:   "perm128"       — NUM_PERM independent (a*x+b) mod p permutations:
+#:                     O(shingles * NUM_PERM) multiply-add-mod work.
+#:   "oph-densified" — One-Permutation Hashing (Li/Owen/Zhang, NIPS'12):
+#:                     ONE mix per shingle, min per NUM_PERM hash-space
+#:                     bins, empty bins filled from the next non-empty
+#:                     bin circularly (densified OPH, Shrivastava &
+#:                     Li ICML'14): O(shingles) total — the kernel's
+#:                     perm-min loop was 14.7 s of the 17.4 s bands
+#:                     kernel per 50k rows, and OPH removes the x128.
+#: Env-overridable (not just a constant) because pandas-UDF workers are
+#: separate processes: subprocess A/B legs select the scheme at launch.
+#: Signature values differ between schemes, so the scheme is part of
+#: SEMANTICS (checkpoints refuse to resume across a switch) and golden
+#: vectors regenerate on a default flip (bin/regen_golden.py).
+import os as _os
+
+MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "perm128")
+
 #: Prime modulus for minhash universal hashing (Mersenne 2^31-1: products of
 #: two <2^31 values fit in uint64 — vectorizes without 128-bit arithmetic).
 MINHASH_PRIME = (1 << 31) - 1
@@ -186,6 +205,7 @@ SEMANTICS = {
     "gram_stride": GRAM_STRIDE,
     "minhash_prime": MINHASH_PRIME,
     "minhash_seed": MINHASH_SEED,
+    "minhash_scheme": MINHASH_SCHEME,
     "hash_person": HASH_PERSON.decode(),
     "feature_hash": FEATURE_HASH,
     # band-table layout: one packed long key det(2b)|band_id(5b)|hash(57b)

@@ -460,8 +460,62 @@ def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
 
 
 def _minhash_from_row_ids(x: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
-    """Perm-min kernel: per-row DISTINCT shingle ids (flat, row-sorted,
-    ``starts`` len n+1) -> (n, NUM_PERM) int64 signatures."""
+    """Minhash kernel dispatch: per-row DISTINCT shingle ids (flat,
+    row-sorted, ``starts`` len n+1) -> (n, NUM_PERM) int64 signatures.
+    Scheme selected by config.MINHASH_SCHEME (part of SEMANTICS — the
+    two schemes' values are incompatible by construction)."""
+    if C.MINHASH_SCHEME == "oph-densified":
+        return _minhash_oph_densified(x, starts, n)
+    return _minhash_perm128(x, starts, n)
+
+
+def _minhash_oph_densified(x: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """One-Permutation Hashing with circular densification.
+
+    ONE splitmix64 avalanche per shingle; bin = top log2(NUM_PERM) bits,
+    value = a disjoint 31-bit slice reduced mod MINHASH_PRIME (keeps the
+    'values < MINHASH_PRIME, sentinel never produced' contract of the
+    perm128 scheme). Per-row min per bin via one np.minimum.at scatter —
+    O(shingles) total vs perm128's O(shingles * NUM_PERM) (A/B'd against
+    sorted-reduceat: scatter 1.7 s vs 8.6 s on a 13M-shingle batch).
+    Empty bins (a row with s shingles leaves ~NUM_PERM*exp(-s/NUM_PERM)
+    of its bins empty) are filled from the NEXT NON-EMPTY bin to the
+    right, circularly — densified OPH (Shrivastava & Li, ICML'14), which
+    restores the collision property E[1{h_i(A)=h_i(B)}] = J(A,B) for
+    every bin, so downstream banding math is unchanged. Rows with zero
+    shingles stay all-MINHASH_EMPTY (same as perm128)."""
+    B = C.NUM_PERM
+    assert B & (B - 1) == 0, "OPH binning needs power-of-two NUM_PERM"
+    out = np.full((n, B), C.MINHASH_EMPTY, dtype=np.int64)
+    if len(x) == 0:
+        return out
+    counts = starts[1:] - starts[:-1]
+    rs = np.repeat(np.arange(n, dtype=np.int64), counts)
+    h = _mix64(x)
+    bins = (h >> _OPH_BIN_SHIFT).astype(np.int64)
+    vals = (h >> np.uint64(26)) & np.uint64(0x7FFFFFFF)
+    vals %= _P31  # map the single value 2^31-1 -> 0: sentinel stays unreachable
+    grid = np.full(n * B, _OPH_EMPTY, dtype=np.uint64)
+    np.minimum.at(grid, rs * B + bins, vals)
+    grid = grid.reshape(n, B)
+    nonempty = counts > 0
+    g = grid[nonempty]
+    # circular next-non-empty forward fill: double the bin axis, compute
+    # for each position the index of the first filled bin at-or-after it
+    # (right-to-left running min over candidate indices), then gather.
+    ext = np.concatenate([g, g], axis=1)
+    cand = np.where(ext != _OPH_EMPTY, np.arange(2 * B, dtype=np.int64)[None, :], 1 << 30)
+    nxt = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :B]
+    out[nonempty] = np.take_along_axis(ext, nxt, axis=1).astype(np.int64)
+    return out
+
+
+_OPH_BIN_SHIFT = np.uint64(64 - int(C.NUM_PERM).bit_length() + 1)  # 57 for 128 bins
+_OPH_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _minhash_perm128(x: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """Perm-min kernel: NUM_PERM independent (a*x+b) mod p permutations."""
     out = np.full((n, C.NUM_PERM), C.MINHASH_EMPTY, dtype=np.int64)
     if len(x) == 0:
         return out
@@ -532,9 +586,20 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 def minhash_band_hashes(sigs: np.ndarray) -> np.ndarray:
     """(n, NUM_PERM) minhash -> (n, BANDS) int64 band hashes.
-    band_hash = mix64(polyhash of the ROWS values + band index)."""
+    band_hash = mix64(polyhash of the ROWS values + band index).
+
+    Slot layout is scheme-dependent: perm128 bands take ROWS CONSECUTIVE
+    slots (the pinned original layout); oph-densified bands take slots
+    STRIDED BANDS apart ({j, j+32, j+64, j+96}) — densification fills
+    runs of adjacent bins from one donor shingle, so 4 consecutive slots
+    would often hash 1 shingle (band collision prob ~J instead of ~J^4,
+    candidate inflation for sparse rows); striding puts each band's slots
+    32 bins apart, past typical run lengths."""
     n = sigs.shape[0]
-    v = sigs.astype(np.uint64).reshape(n, C.BANDS, C.ROWS)
+    if C.MINHASH_SCHEME == "oph-densified":
+        v = sigs.astype(np.uint64).reshape(n, C.ROWS, C.BANDS).transpose(0, 2, 1)
+    else:
+        v = sigs.astype(np.uint64).reshape(n, C.BANDS, C.ROWS)
     acc = np.zeros((n, C.BANDS), dtype=np.uint64)
     for r in range(C.ROWS):
         acc = acc * _MIX_MUL + v[:, :, r]
