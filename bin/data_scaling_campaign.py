@@ -81,8 +81,16 @@ def main() -> None:
             shutil.rmtree(corpus, ignore_errors=True)  # partial from a dead run
             print(f"generating n={n} (sharded x{args.shard_rows}) ...", file=sys.stderr)
             t0 = time.time()
+            # dur_ms_range matches bin/scaling_bench.py's corpus recipe
+            # (100-200 ms, ~5 KB/clip): keeps the series comparable to the
+            # core-scaling numbers and a 500k shard ~2.5 GB instead of the
+            # default mix's ~28 GB.
             write_clips_parquet_sharded(
-                corpus, n, shard_rows=args.shard_rows, workers=args.gen_workers
+                corpus,
+                n,
+                shard_rows=args.shard_rows,
+                workers=args.gen_workers,
+                dur_ms_range=(100, 200),
             )
             open(marker, "w").write("ok")
             print(f"generated in {time.time() - t0:.0f}s", file=sys.stderr)
