@@ -76,6 +76,11 @@ GRAM_STRIDE = 8
 #:                     Li ICML'14): O(shingles) total — the kernel's
 #:                     perm-min loop was 14.7 s of the 17.4 s bands
 #:                     kernel per 50k rows, and OPH removes the x128.
+#: Default is oph-densified: the interleaved pipeline-level A/B at
+#: 2M rows / local[8] (BENCH/ab-minhash-scheme-t8-n2000000.json) put it
+#: 17.5% ahead end-to-end (355.0 vs 430.2 s mean of 2 legs each) with
+#: the bands stage halved (51-56 vs 106-111 s) and candidate_pairs /
+#: verify flat — i.e. no candidate blowup from the scheme flip.
 #: Env-overridable (not just a constant) because pandas-UDF workers are
 #: separate processes: subprocess A/B legs select the scheme at launch.
 #: Signature values differ between schemes, so the scheme is part of
@@ -83,7 +88,7 @@ GRAM_STRIDE = 8
 #: vectors regenerate on a default flip (bin/regen_golden.py).
 import os as _os
 
-MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "perm128")
+MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "oph-densified")
 
 #: Prime modulus for minhash universal hashing (Mersenne 2^31-1: products of
 #: two <2^31 values fit in uint64 — vectorizes without 128-bit arithmetic).
