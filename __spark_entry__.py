@@ -607,14 +607,17 @@ def q_verified_hamming_pairs(spark, sf_dir):
     from simhash_spark import config as C
 
     pipe = _shared_pipeline(spark, sf_dir)
+    # candidate_pairs is the cid-keyed interior table (a/b = int64
+    # xxhash64 ids); the signature join runs on profile.cid and the
+    # audit parquet carries the same cid ids on both engines' sides.
     pairs = pipe.store.read("candidate_pairs").select("a", "b")
-    sigs = pipe.store.read("profile").select("clip_id", "simhash")
+    sigs = pipe.store.read("profile").select("cid", "simhash")
     joined = (
         pairs.join(
-            sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")), "a"
+            sigs.select(F.col("cid").alias("a"), F.col("simhash").alias("sig_a")), "a"
         )
         .join(
-            sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")), "b"
+            sigs.select(F.col("cid").alias("b"), F.col("simhash").alias("sig_b")), "b"
         )
         .select("a", "b", "sig_a", "sig_b")
     )

@@ -43,6 +43,7 @@ from simhash_spark.session import get_spark
 from simhash_spark.config import EngineConfig
 from simhash_spark.plans.pipeline import DedupPipeline
 from simhash_spark.operators.lsh import build_bands
+from pyspark.sql import functions as F
 from simhash_spark.functions.signatures import profile_udf
 
 cores = 32
@@ -57,7 +58,8 @@ spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_bat
 t0 = time.time()
 if not store.is_committed("profile"):
     profile = clips.select("clip_id", profile_udf("transcript").alias("p")) \
-        .select("clip_id", "p.norm_text", "p.simhash")
+        .select("clip_id", F.xxhash64("clip_id").alias("cid"),
+                "p.norm_text", "p.simhash")
     store.write("profile", profile)
 profile = store.read("profile")
 if not store.is_committed("bands"):
@@ -77,6 +79,9 @@ from simhash_spark.operators.lsh import candidate_pairs
 cores = {cores}
 sp = {sp} or cores * 2
 extra = {{"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+         # UI on: the post-run per-stage diagnostics read the REST
+         # status API (session default is ui off).
+         "spark.ui.enabled": "true",
          "spark.driver.memory": "24g"}}
 if {oha}:
     # A-B knob: ObjectHashAggregate (collect_set) falls back to slower
@@ -89,8 +94,12 @@ spark = get_spark(app=f"cp-bench-{{cores}}-{mode!r}", master=f"local[{{cores}}]"
 pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=sp))
 store, cfg = pipe.store, pipe.cfg
 bands = store.read("bands")
-# mode strings compose 'join'/'agg' (pair_gen) with '+win' (window sizing)
-pg, _, sz = {mode!r}.partition("+")
+# mode strings compose 'join'/'agg' (pair_gen) with '+win' (window
+# sizing) and an optional annotated-persist storage suffix
+# ('+memdisk'/'+ser'/'+disk'/'+none' -> SPARK_GRAFT_ANNOT_STORAGE,
+# already exported before this child imported simhash_spark.config).
+parts = {mode!r}.split("+")
+pg, sz = parts[0], (parts[1] if len(parts) > 1 else "")
 t0 = time.time()
 pairs = candidate_pairs(bands, band_group_cap=cfg.band_group_cap,
                         partitions=sp,
@@ -100,8 +109,40 @@ pairs = candidate_pairs(bands, band_group_cap=cfg.band_group_cap,
 store.write("candidate_pairs", pairs)
 wall = time.time() - t0
 n = store.read("candidate_pairs").count()
+# Per-Spark-stage diagnostics (REST status API): the isolated repeats of
+# this stage are bimodal (95 vs 148 s at T8/sp=128, identical input and
+# pair counts), so each run records where ITS wall went — stage walls,
+# run/cpu/gc, spill, and max-vs-median task time (straggler signature).
+diag = []
+try:
+    import urllib.request
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    gc_sec = sum(beans.get(i).getCollectionTime() for i in range(beans.size())) / 1000.0
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(urllib.request.urlopen(
+        f"{{ui}}/api/v1/applications/{{app}}/stages?status=complete&withSummaries=true",
+        timeout=10))
+    for s in stages:
+        q = (s.get("taskMetricsDistributions") or {{}}).get("executorRunTime") or []
+        diag.append({{
+            "stage": s.get("stageId"),
+            "name": (s.get("name") or "")[:60],
+            "tasks": s.get("numCompleteTasks"),
+            "run_s": round(int(s.get("executorRunTime", 0)) / 1e3, 1),
+            "cpu_s": round(int(s.get("executorCpuTime", 0)) / 1e9, 1),
+            "gc_s": round(int(s.get("jvmGcTime", 0) or 0) / 1e3, 1),
+            "spill_disk": int(s.get("diskBytesSpilled", 0) or 0),
+            "shuf_w": int(s.get("shuffleWriteBytes", 0) or 0),
+            "shuf_r": int(s.get("shuffleReadBytes", 0) or 0),
+            "task_run_q": [round(v / 1e3, 1) for v in q],
+        }})
+except Exception as e:
+    diag = [{{"error": str(e)[:200]}}]
 print("RESULT " + json.dumps({{"cores": cores, "mode": {mode!r},
-                               "cp_wall": round(wall, 1), "pairs": n}}))
+                               "cp_wall": round(wall, 1), "pairs": n,
+                               "gc_sec": round(gc_sec, 1) if diag and "error" not in diag[0] else None,
+                               "stages": diag}}))
 """
 
 
@@ -143,8 +184,16 @@ def main() -> None:
         shutil.copytree(master, work)
         code = CHILD.format(repo=REPO, cores=cores, ckpt=work, mode=mode,
                             oha=args.oha, sp=args.sp)
+        env = dict(os.environ)
+        storage = [p for p in mode.split("+")[1:] if p in ("memdisk", "ser", "disk", "none")]
+        if storage:
+            env["SPARK_GRAFT_ANNOT_STORAGE"] = storage[0]
+        # '+advN' suffix -> AQE advisory partition size N MB (session knob)
+        adv = [p[3:] for p in mode.split("+")[1:] if p.startswith("adv")]
+        if adv:
+            env["SPARK_GRAFT_ADVISORY_MB"] = adv[0]
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                             text=True, timeout=10800, cwd=REPO)
+                             text=True, timeout=10800, cwd=REPO, env=env)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
             raise RuntimeError(out.stderr[-3000:])

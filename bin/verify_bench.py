@@ -53,11 +53,13 @@ clips = spark.read.parquet({clips_path!r})
 pipe = DedupPipeline(spark, {ckpt!r}, EngineConfig(partitions=sp))
 store, cfg = pipe.store, pipe.cfg
 spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_batch))
+from pyspark.sql import functions as F
 from simhash_spark.functions.signatures import profile_udf
 t0 = time.time()
 if not store.is_committed("profile"):
     profile = clips.select("clip_id", profile_udf("transcript").alias("p")) \
-        .select("clip_id", "p.norm_text", "p.simhash")
+        .select("clip_id", F.xxhash64("clip_id").alias("cid"),
+                "p.norm_text", "p.simhash")
     store.write("profile", profile)
 profile = store.read("profile")
 if not store.is_committed("bands"):

@@ -90,6 +90,18 @@ import os as _os
 
 MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "oph-densified")
 
+#: Storage level for candidate_pairs' persisted annotated-band table —
+#: an EXECUTION knob (pair multiset identical across modes, pytest-
+#: pinned), env-selectable for subprocess A/B legs like MINHASH_SCHEME:
+#:   'memdisk' — MEMORY_AND_DISK_DESER (DataFrame.persist() default);
+#:   'ser'     — MEMORY_AND_DISK serialized (smaller heap footprint);
+#:   'disk'    — DISK_ONLY (no unified-memory tug-of-war between the
+#:               cache and the pair-dedupe agg's execution memory — the
+#:               isolated cp-stage diagnosis of the T8 high mode);
+#:   'none'    — no persist (the bkey Exchange is still reused across
+#:               the cold/hot branches; only the window pass recomputes).
+ANNOT_STORAGE = _os.environ.get("SPARK_GRAFT_ANNOT_STORAGE", "memdisk")
+
 #: Prime modulus for minhash universal hashing (Mersenne 2^31-1: products of
 #: two <2^31 values fit in uint64 — vectorizes without 128-bit arithmetic).
 MINHASH_PRIME = (1 << 31) - 1
@@ -217,4 +229,10 @@ SEMANTICS = {
     # (operators/lsh.py). Checkpoints written under the unpacked
     # (det, band_id, band_hash) layout refuse to resume.
     "band_key_layout": "packed-det2-band5-hash57",
+    # id encoding of the hot pipeline interior (bands / candidate_pairs):
+    # cid = xxhash64(clip_id) int64, mapped back to clip_id strings at
+    # the verified_pairs boundary. Checkpoints written under the string-
+    # keyed interior refuse to resume (profile lacks cid, pairs carry
+    # strings).
+    "id_key": "cid-xxhash64",
 }

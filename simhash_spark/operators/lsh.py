@@ -1,7 +1,7 @@
 """LSH banding + hot-band handling + candidate pair generation.
 
 Four detectors share ONE PACKED 64-bit band key — the band table is just
-``(clip_id, bkey)``:
+``(cid, bkey)``  (cid = xxhash64(clip_id) int64):
 
     bkey = det_id(2 bits, 62..63) | band_id(5 bits, 57..61)
          | band_hash low 57 bits
@@ -55,6 +55,26 @@ from simhash_spark.functions.signatures import (
 from simhash_spark.util import track_persisted
 
 
+def _persist_annotated(df: DataFrame) -> tuple[DataFrame, list]:
+    """Persist the annotated band table per config.ANNOT_STORAGE.
+
+    Returns (df, handles-to-release). 'none' skips the persist entirely —
+    correctness is unaffected (the bkey Exchange is reused across the
+    cold/hot consumer branches; only the sizing pass recomputes)."""
+    mode = C.ANNOT_STORAGE
+    if mode == "none":
+        return df, []
+    from pyspark import StorageLevel
+
+    lvl = {
+        "memdisk": StorageLevel.MEMORY_AND_DISK_DESER,
+        "ser": StorageLevel.MEMORY_AND_DISK,
+        "disk": StorageLevel.DISK_ONLY,
+    }[mode]
+    df = df.persist(lvl)
+    return df, [df]
+
+
 #: detector names in det_id order (bkey bits 62..63); the order IS the
 #: pair-dedupe priority: exact > sim > mh > gram.
 DETS = ["exact", "sim", "mh", "gram"]
@@ -85,15 +105,26 @@ def build_bands(
     normalized: DataFrame,
     signatures: DataFrame,
     detectors: tuple = ("simhash", "minhash", "substring"),
+    id_col: str = "cid",
 ) -> DataFrame:
-    """normalized(clip_id, norm_text) + signatures(clip_id, simhash)
-    -> bands(clip_id, bkey) — ONE packed long key per band row."""
+    """normalized(clip_id|cid, norm_text) + signatures(.., simhash)
+    -> bands(id, bkey) — ONE packed long key per band row.
+
+    ``id_col`` names the row-id column the band table carries: 'cid'
+    (default — the int64 xxhash64(clip_id) interior key; derived in
+    place when the input only has clip_id) or 'clip_id' (legacy string
+    path, used by the incremental/streaming dedup whose state tables
+    are string-keyed)."""
+    if id_col == "cid" and "cid" not in normalized.columns:
+        normalized = normalized.withColumn("cid", F.xxhash64("clip_id"))
+    if id_col == "cid" and "cid" not in signatures.columns:
+        signatures = signatures.withColumn("cid", F.xxhash64("clip_id"))
     parts: list[DataFrame] = []
 
     # exact detector — always on; pure JVM hash of the normalized text.
     parts.append(
         normalized.select(
-            "clip_id",
+            id_col,
             _pack_bkey(0, 0, F.xxhash64("norm_text")).alias("bkey"),
         )
     )
@@ -103,7 +134,7 @@ def build_bands(
         # table index is packed INSIDE each key (~38 low bits) -> band_id
         # stays 0 and one flat column carries all SIM_TABLES tables.
         sim = signatures.select(
-            "clip_id",
+            id_col,
             F.explode(F.array(*[_pack_bkey(1, 0, k) for k in keys])).alias("bkey"),
         )
         parts.append(sim)
@@ -115,19 +146,19 @@ def build_bands(
         # packing layout is pytest-pinned against _pack_bkey.
         parts.append(
             normalized.select(
-                "clip_id", F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
+                id_col, F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
             )
         )
     elif "minhash" in detectors:
         mh = normalized.select(
-            "clip_id",
+            id_col,
             F.posexplode(minhash_bands_udf("norm_text")).alias("band_id", "band_hash"),
-        ).select("clip_id", _pack_bkey(2, F.col("band_id"), F.col("band_hash")).alias("bkey"))
+        ).select(id_col, _pack_bkey(2, F.col("band_id"), F.col("band_hash")).alias("bkey"))
         parts.append(mh)
     elif "substring" in detectors:
         gr = normalized.select(
-            "clip_id", F.explode(substring_grams_udf("norm_text")).alias("band_hash")
-        ).select("clip_id", _pack_bkey(3, 0, F.col("band_hash")).alias("bkey"))
+            id_col, F.explode(substring_grams_udf("norm_text")).alias("band_hash")
+        ).select(id_col, _pack_bkey(3, 0, F.col("band_hash")).alias("bkey"))
         parts.append(gr)
 
     out = parts[0]
@@ -185,7 +216,7 @@ def candidate_pairs(
              hazard that rules out a naive collect_list over raw bands
              cannot occur here.
     ``sizing`` picks how each band row learns its group's size and hub:
-      'window' (default) — count(*)/min(clip_id) OVER (PARTITION BY
+      'window' (default) — count(*)/min(id) OVER (PARTITION BY
              bkey): ONE sorted pass over the pre-partitioned band table
              computes both annotations in place; no join, no second
              sort, and the sizing aggregation is built only when a
@@ -214,6 +245,9 @@ def candidate_pairs(
     """
     spark = bands.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # row-id column: 'cid' (int64 interior key, the default bands layout)
+    # or 'clip_id' (legacy string bands) — whatever build_bands emitted.
+    rid = [c for c in bands.columns if c != "bkey"][0]
     # EXPLICIT co-partitioning on the band keys: every downstream keyed op
     # (sizing groupBy, annotate join, pairwise self-join) sees
     # HashPartitioning(_KEYS, n_part) and reuses this single shuffle.
@@ -223,7 +257,7 @@ def candidate_pairs(
     # (map-side combine keeps hot keys linear — one row per key per mapper).
     # Lazy: in 'window' sizing this is evaluated ONLY for the metrics block.
     counts = bands.groupBy(*_KEYS).agg(
-        F.count("*").alias("grp_n"), F.min("clip_id").alias("hub")
+        F.count("*").alias("grp_n"), F.min(rid).alias("hub")
     )
 
     if sizing == "window":
@@ -234,15 +268,13 @@ def candidate_pairs(
         from pyspark.sql import Window
 
         w = Window.partitionBy(*_KEYS)
-        annotated = (
+        annotated, _handles = _persist_annotated(
             bands.select(
                 *_KEYS,
-                "clip_id",
+                rid,
                 F.count(F.lit(1)).over(w).alias("grp_n"),
-                F.min("clip_id").over(w).alias("hub"),
-            )
-            .filter(F.col("grp_n") >= 2)
-            .persist()
+                F.min(rid).over(w).alias("hub"),
+            ).filter(F.col("grp_n") >= 2)
         )
     else:
         # Groups of size 1 produce no pairs — drop their rows before any
@@ -253,7 +285,7 @@ def candidate_pairs(
         # skew. PERSIST: three consumers (metrics agg, cold self-join x2
         # branches, star filter) would otherwise re-run the join per
         # branch.
-        annotated = bands.join(multi, _KEYS, "inner").persist()
+        annotated, _handles = _persist_annotated(bands.join(multi, _KEYS, "inner"))
 
     # a group is diverted to star edges if its ROW count exceeds
     # band_group_cap or its implied PAIR count n*(n-1)/2 exceeds
@@ -302,7 +334,7 @@ def candidate_pairs(
     # cold path: full pairwise within group (group size <= cap bounds the
     # worst group at cap^2/2 pairs). det travels as the 2-bit id packed
     # in bkey — no extra column.
-    cold_bands = annotated.filter(~is_star).select(*_KEYS, "clip_id")
+    cold_bands = annotated.filter(~is_star).select(*_KEYS, rid)
     if pair_gen == "agg":
         # docstring 'agg' mode: one aggregation pass (no exchange — the
         # rows are already hash-partitioned on bkey) + streamed double
@@ -310,7 +342,7 @@ def candidate_pairs(
         # invariant, so pos < tail-slice position IS a < b; collect_set
         # (vs _list) guards the degenerate same-clip-same-bkey row.
         grp = cold_bands.groupBy(*_KEYS).agg(
-            F.sort_array(F.collect_set("clip_id")).alias("ids")
+            F.sort_array(F.collect_set(rid)).alias("ids")
         )
         left = grp.select(
             *_KEYS, "ids", F.posexplode("ids").alias("pos", "a")
@@ -328,25 +360,25 @@ def candidate_pairs(
         b = cold_bands.alias("b")
         pairs_cold = (
             a.join(b, _KEYS, "inner")
-            .where(F.col("a.clip_id") < F.col("b.clip_id"))
+            .where(F.col(f"a.{rid}") < F.col(f"b.{rid}"))
             .select(
-                F.col("a.clip_id").alias("a"),
-                F.col("b.clip_id").alias("b"),
+                F.col(f"a.{rid}").alias("a"),
+                F.col(f"b.{rid}").alias("b"),
                 det_id_col("bkey").alias("det_id"),
                 F.lit(0).alias("starred"),
             )
         )
 
     # star path (exact groups of any size + over-cap sim/mh/gram groups):
-    # linear edges to the group's min clip_id. For 'exact' this is lossless
+    # linear edges to the group's min id. For 'exact' this is lossless
     # (identical text is transitively dup); for over-cap groups it is the
     # logged approximation that avoids O(n^2).
     pairs_hot = (
         annotated.filter(is_star)
-        .where(F.col("clip_id") != F.col("hub"))
+        .where(F.col(rid) != F.col("hub"))
         .select(
             F.col("hub").alias("a"),
-            F.col("clip_id").alias("b"),
+            F.col(rid).alias("b"),
             det_id_col("bkey").alias("det_id"),
             F.lit(1).alias("starred"),
         )
@@ -414,4 +446,4 @@ def candidate_pairs(
     # `annotated` stays cached until the caller materializes `pairs`
     # (CheckpointStore.write releases it — no executor-storage leak in a
     # long-lived driver).
-    return track_persisted(pairs, [annotated])
+    return track_persisted(pairs, _handles)

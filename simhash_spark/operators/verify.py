@@ -63,7 +63,18 @@ def verify_pairs(
     are joined onto det=='sim' pairs ONLY (every other det provably
     cannot newly satisfy the hamming rule); exact pairs pass with
     hamming 0 and mh/gram pairs go straight to the evidence-gated
-    tier 2 with hamming reported as NULL."""
+    tier 2 with hamming reported as NULL.
+
+    Pair ids may be cid int64s (the pipeline interior's
+    xxhash64(clip_id) key — every join below then runs on 8-byte keys,
+    and the OUTPUT maps a/b back to clip_id strings, restoring the
+    a < b string ordering) or clip_id strings (legacy path, used by the
+    string-keyed incremental dedup) — dispatched on the column type, so
+    the committed verified_pairs schema is identical either way."""
+    cid_keyed = dict(pairs.dtypes)["a"] == "bigint"
+    if cid_keyed and "cid" not in profile.columns:
+        profile = profile.withColumn("cid", F.xxhash64("clip_id"))
+    key = "cid" if cid_keyed else "clip_id"
     # tier 0: identical normalized text — pre-verified, sig-free.
     tier0 = pairs.filter(F.col("det") == "exact").select(
         "a",
@@ -77,15 +88,15 @@ def verify_pairs(
     # tier 1: sigs joined onto the det=='sim' sliver only. PERSIST: the
     # hamming pass and the tier-2 fallthrough both read it (it is tiny —
     # O(sim pairs), not O(pairs)).
-    sigs = profile.select("clip_id", "simhash")
+    sigs = profile.select(key, "simhash")
     simj = (
         pairs.filter(F.col("det") == "sim")
         .join(
-            sigs.select(F.col("clip_id").alias("a"), F.col("simhash").alias("sig_a")),
+            sigs.select(F.col(key).alias("a"), F.col("simhash").alias("sig_a")),
             "a",
         )
         .join(
-            sigs.select(F.col("clip_id").alias("b"), F.col("simhash").alias("sig_b")),
+            sigs.select(F.col(key).alias("b"), F.col("simhash").alias("sig_b")),
             "b",
         )
         .withColumn("hamming", hamming_col("sig_a", "sig_b").cast("int"))
@@ -125,14 +136,14 @@ def verify_pairs(
     # and recomputed (verify T32 measured SLOWER than T8). The substring
     # branch (the bulk — gram evidence is the most common survivor) needs
     # no cache at all now that its check is JVM-side.
-    texts = profile.select("clip_id", "norm_text")
+    texts = profile.select(key, "norm_text")
 
     def with_texts(df: DataFrame) -> DataFrame:
         return df.join(
-            texts.select(F.col("clip_id").alias("a"), F.col("norm_text").alias("norm_a")),
+            texts.select(F.col(key).alias("a"), F.col("norm_text").alias("norm_a")),
             "a",
         ).join(
-            texts.select(F.col("clip_id").alias("b"), F.col("norm_text").alias("norm_b")),
+            texts.select(F.col(key).alias("b"), F.col("norm_text").alias("norm_b")),
             "b",
         )
 
@@ -171,6 +182,25 @@ def verify_pairs(
     )
 
     out = tier0.unionByName(tier1).unionByName(jac_pass).unionByName(sub_pass)
+    if cid_keyed:
+        # map the interior cid keys back to clip_id strings at the ONE
+        # output boundary (two 8-byte-keyed joins over the verified
+        # sliver, not the candidate set) and restore the user-facing
+        # a < b STRING ordering the string-keyed engine committed
+        # (det/method/hamming/jaccard are all pair-symmetric).
+        m = profile.select("cid", "clip_id")
+        out = (
+            out.join(m.select(F.col("cid").alias("a"), F.col("clip_id").alias("a_str")), "a")
+            .join(m.select(F.col("cid").alias("b"), F.col("clip_id").alias("b_str")), "b")
+            .select(
+                F.least("a_str", "b_str").alias("a"),
+                F.greatest("a_str", "b_str").alias("b"),
+                "det",
+                "method",
+                "hamming",
+                "jaccard",
+            )
+        )
     # simj/jac stay cached until the caller materializes the result
     # (CheckpointStore.write releases them).
     return track_persisted(out, [simj, jac])

@@ -3,11 +3,17 @@
 Stage DAG (each committed atomically via CheckpointStore; a re-run skips
 every committed stage — idempotent resume, SURVEY.md §5.2 item 5):
 
-    profile          (clip_id, norm_text, simhash)
-    bands            (clip_id, bkey)   packed long key, operators/lsh.py
-    candidate_pairs  (a, b, det)
-    verified_pairs   (a, b, det, method, hamming, jaccard)
+    profile          (clip_id, cid, norm_text, simhash)
+    bands            (cid, bkey)       packed long key, operators/lsh.py
+    candidate_pairs  (a, b, det)       a/b = cid int64
+    verified_pairs   (a, b, det, method, hamming, jaccard)  a/b = clip_id
     clusters         (clip_id, cluster_id)
+
+The interior (bands -> candidate_pairs -> verify joins) is keyed on
+``cid = xxhash64(clip_id)`` int64 — string keys measured 2x slower in
+the pair-dedupe hash aggregation and ~40%% fatter in every band shuffle;
+verify maps back to clip_id strings at its output boundary, so the two
+user-facing tables (verified_pairs, clusters) keep string ids.
 
 ``profile`` fuses normalization and the simhash signature into ONE stage
 table: one Arrow pass over the corpus, and verify joins a single side
@@ -71,9 +77,23 @@ class DedupPipeline:
             # fused normalize+simhash UDF: ONE Arrow crossing per row
             # (chained normalize_udf -> simhash64_udf would be two
             # dependent Python evals in the plan)
+            # cid = xxhash64(clip_id): the int64 key the hot interior
+            # (bands/candidate_pairs/verify joins) runs on — string keys
+            # in the pair-dedupe agg and band shuffles were measured
+            # memory-bandwidth-bound (BENCH/cp-stage-n2000000-oph-t8-
+            # adv.json). Deterministic across runs/partitionings, so
+            # resume-safe; the cid<->clip_id map rides this table for
+            # free. Collision odds are birthday(n, 2^64) — ~3e-8 at 1M
+            # rows; at 10^12 rows a deployment should widen to a
+            # 128-bit id (two-column key) — documented in COVERAGE.md.
             profile = clips.select(
                 "clip_id", profile_udf("transcript").alias("p")
-            ).select("clip_id", "p.norm_text", "p.simhash")
+            ).select(
+                "clip_id",
+                F.xxhash64("clip_id").alias("cid"),
+                "p.norm_text",
+                "p.simhash",
+            )
             store.write("profile", profile)
         profile = store.read("profile")
 

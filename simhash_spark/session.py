@@ -57,6 +57,21 @@ def get_spark(
     # tmpfs for the same reason the corpus/checkpoints go there (see
     # bin/scaling_bench.py module doc). Measured A-B below in
     # BENCH/BASELINE.md.
+    # AQE post-shuffle coalescing target: 16m, not Spark's 64m default.
+    # The pair-dedupe aggregation is cache-locality-bound: at 64m AQE
+    # coalesces its reduce side into few fat tasks whose per-task
+    # string-keyed hash tables (millions of live groups x concurrent
+    # tasks) thrash the shared LLC. A 3x2 interleaved fresh-JVM A/B on
+    # the isolated stage at 8 cores (BENCH/cp-stage-n2000000-oph-t8-
+    # adv.json) measured the dedupe stage's run-CPU HALVED (211-242 ->
+    # 109-137 s at identical bytes), GC 3-4x lower, task skew gone
+    # (max/median 4.7 -> 1.8), stage wall -14%. Same argument holds on a
+    # real cluster: per-task working sets should track L2/LLC share, not
+    # IO-optimal block size. Env-overridable for A-B replays.
+    adv_mb = os.environ.get("SPARK_GRAFT_ADVISORY_MB", "16")
+    b = b.config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{int(adv_mb)}m"
+    )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

@@ -122,7 +122,12 @@ class IncrementalDedup:
             .persist()
         )
         new_bands = (
-            build_bands(prof_new, prof_new, detectors=self.cfg.detectors)
+            # legacy string ids: the incremental state tables
+            # (band_index/seen_ids/profile) are clip_id-keyed, and
+            # verify_pairs dispatches to its string path on these pairs.
+            build_bands(
+                prof_new, prof_new, detectors=self.cfg.detectors, id_col="clip_id"
+            )
             .withColumn("bkt", F.pmod(F.col("bkey"), F.lit(self.n_buckets)).cast("int"))
             .persist()
         )

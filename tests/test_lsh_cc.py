@@ -14,6 +14,22 @@ def _norm_sig(spark, rows):
     return norm, sigs
 
 
+def _cidmap(norm):
+    """cid -> clip_id for translating the interior int64 pair ids back
+    to the fixture's string ids (same xxhash64 the engine derives)."""
+    return {
+        r.cid: r.clip_id
+        for r in norm.select(
+            "clip_id", F.xxhash64("clip_id").alias("cid")
+        ).collect()
+    }
+
+
+def _str_pairs(pairs_df, m):
+    """candidate_pairs rows -> {frozenset-style sorted string tuples}."""
+    return {tuple(sorted((m[r.a], m[r.b]))) for r in pairs_df.collect()}
+
+
 def test_candidate_pairs_cover_near_dups(spark):
     long = " ".join(f"word{i}" for i in range(40))
     rows = [
@@ -24,7 +40,7 @@ def test_candidate_pairs_cover_near_dups(spark):
     ]
     norm, sigs = _norm_sig(spark, rows)
     bands = build_bands(norm, sigs)
-    pairs = {(r.a, r.b) for r in candidate_pairs(bands).collect()}
+    pairs = _str_pairs(candidate_pairs(bands), _cidmap(norm))
     assert ("a", "b") in pairs
     assert ("a", "c") in pairs or ("b", "c") in pairs
     assert not any("d" in p for p in pairs)
@@ -38,8 +54,11 @@ def test_exact_groups_use_linear_star_edges(spark):
     pairs = candidate_pairs(bands).collect()
     exact_pairs = [p for p in pairs if p.det == "exact"]
     assert len(exact_pairs) == 49
-    hubs = {p.a for p in exact_pairs}
-    assert hubs == {"c000"}  # min clip_id is the hub
+    m = _cidmap(norm)
+    hubs = {m[p.a] for p in exact_pairs}
+    # star shape: ONE hub (the min-cid member — hub identity is an
+    # arbitrary deterministic pick; linearity is the contract)
+    assert len(hubs) == 1 and hubs <= {f"c{i:03d}" for i in range(50)}
 
 
 def test_hot_band_cap_stars_and_logs(spark):
@@ -251,11 +270,16 @@ def test_cc_cleanup_spares_concurrent_caches(spark, tmp_path):
     round' and dropped them)."""
     from simhash_spark.sources.tableio import CheckpointStore
 
+    before = _persistent_rdd_ids(spark.sparkContext)
     bystander = spark.range(100).toDF("v").persist()
     assert bystander.count() == 100  # materialize the cache
     side_ckpt = spark.range(50).toDF("w").localCheckpoint()
     assert side_ckpt.count() == 50
-    ids_with_bystanders = _persistent_rdd_ids(spark.sparkContext)
+    # track ONLY the RDDs this test created: earlier tests' leftover
+    # blocks hold no live references, so the ContextCleaner may drop
+    # them at any JVM GC mid-run — asserting on the full persistent set
+    # is flaky by construction.
+    ours = _persistent_rdd_ids(spark.sparkContext) - before
 
     edges = spark.createDataFrame(
         [(f"x{i}", f"x{i+1}") for i in range(8)], "a string, b string"
@@ -264,7 +288,7 @@ def test_cc_cleanup_spares_concurrent_caches(spark, tmp_path):
     connected_components(edges, store=store).collect()
 
     still = _persistent_rdd_ids(spark.sparkContext)
-    assert ids_with_bystanders <= still  # nothing of ours was dropped
+    assert ours <= still  # nothing of ours was dropped
     assert bystander.storageLevel.useMemory  # still marked persistent
     assert side_ckpt.count() == 50  # localCheckpoint data still readable
     bystander.unpersist()
