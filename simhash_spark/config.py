@@ -102,6 +102,14 @@ MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "oph-densified")
 #:               the cold/hot branches; only the window pass recomputes).
 ANNOT_STORAGE = _os.environ.get("SPARK_GRAFT_ANNOT_STORAGE", "memdisk")
 
+#: Row-id encoding of the hot pipeline interior (bands/candidate_pairs
+#: and verify's joins): 'cid' (default — int64 xxhash64(clip_id),
+#: mapped back to clip_id strings at verify's output) or 'clip_id'
+#: (legacy string keys end-to-end). Env-selectable so interleaved
+#: same-session A/B legs can replay the string engine; SEMANTICS pins
+#: the choice, so checkpoints refuse to resume across a switch.
+ID_KEY = _os.environ.get("SPARK_GRAFT_ID_KEY", "cid")
+
 #: Prime modulus for minhash universal hashing (Mersenne 2^31-1: products of
 #: two <2^31 values fit in uint64 — vectorizes without 128-bit arithmetic).
 MINHASH_PRIME = (1 << 31) - 1
@@ -233,6 +241,6 @@ SEMANTICS = {
     # cid = xxhash64(clip_id) int64, mapped back to clip_id strings at
     # the verified_pairs boundary. Checkpoints written under the string-
     # keyed interior refuse to resume (profile lacks cid, pairs carry
-    # strings).
-    "id_key": "cid-xxhash64",
+    # strings). Tracks the ID_KEY env knob (A/B replays).
+    "id_key": "cid-xxhash64" if ID_KEY == "cid" else "legacy-string",
 }

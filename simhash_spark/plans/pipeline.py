@@ -10,10 +10,14 @@ every committed stage — idempotent resume, SURVEY.md §5.2 item 5):
     clusters         (clip_id, cluster_id)
 
 The interior (bands -> candidate_pairs -> verify joins) is keyed on
-``cid = xxhash64(clip_id)`` int64 — string keys measured 2x slower in
-the pair-dedupe hash aggregation and ~40%% fatter in every band shuffle;
-verify maps back to clip_id strings at its output boundary, so the two
-user-facing tables (verified_pairs, clusters) keep string ids.
+``cid = xxhash64(clip_id)`` int64 — an order-balanced interleaved A/B
+vs the string-keyed engine (BENCH/ab-id-key-t8-n2000000.json, 2M rows,
+T8) measured candidate_pairs -20..42%%, verify -26%%, whole pipeline
+-12%% (profile/bands flat); verify maps back to clip_id strings at its
+output boundary, so the two user-facing tables (verified_pairs,
+clusters) keep string ids. The legacy string path stays selectable via
+SPARK_GRAFT_ID_KEY=clip_id (semantics-pinned; used by the A/B legs and
+by the string-keyed incremental state tables).
 
 ``profile`` fuses normalization and the simhash signature into ONE stage
 table: one Arrow pass over the corpus, and verify joins a single side
@@ -31,6 +35,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simhash_spark import config as C
 from simhash_spark.config import EngineConfig
 from simhash_spark.functions.signatures import profile_udf
 from simhash_spark.operators.cc import assign_clusters, connected_components
@@ -78,19 +83,22 @@ class DedupPipeline:
             # (chained normalize_udf -> simhash64_udf would be two
             # dependent Python evals in the plan)
             # cid = xxhash64(clip_id): the int64 key the hot interior
-            # (bands/candidate_pairs/verify joins) runs on — string keys
-            # in the pair-dedupe agg and band shuffles were measured
-            # memory-bandwidth-bound (BENCH/cp-stage-n2000000-oph-t8-
-            # adv.json). Deterministic across runs/partitionings, so
+            # (bands/candidate_pairs/verify joins) runs on — the
+            # interleaved A/B vs string keys measured cp -20..42% /
+            # verify -26% / pipeline -12% (BENCH/ab-id-key-t8-
+            # n2000000.json). Deterministic across runs/partitionings, so
             # resume-safe; the cid<->clip_id map rides this table for
             # free. Collision odds are birthday(n, 2^64) — ~3e-8 at 1M
             # rows; at 10^12 rows a deployment should widen to a
             # 128-bit id (two-column key) — documented in COVERAGE.md.
+            id_cols = (
+                [F.xxhash64("clip_id").alias("cid")] if C.ID_KEY == "cid" else []
+            )
             profile = clips.select(
                 "clip_id", profile_udf("transcript").alias("p")
             ).select(
                 "clip_id",
-                F.xxhash64("clip_id").alias("cid"),
+                *id_cols,
                 "p.norm_text",
                 "p.simhash",
             )
@@ -110,7 +118,10 @@ class DedupPipeline:
             # BENCH/PLANS.md); task granularity then follows rows (CPU
             # cost), not compressed bytes.
             bands = build_bands(
-                profile.repartition(n_part), profile, detectors=cfg.detectors
+                profile.repartition(n_part),
+                profile,
+                detectors=cfg.detectors,
+                id_col=C.ID_KEY,
             )
             store.write("bands", bands)
         bands = store.read("bands")
