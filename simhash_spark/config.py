@@ -102,6 +102,16 @@ MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "oph-densified")
 #:               the cold/hot branches; only the window pass recomputes).
 ANNOT_STORAGE = _os.environ.get("SPARK_GRAFT_ANNOT_STORAGE", "memdisk")
 
+#: Verify-stage texts prefilter: 'semi' (default) left-semi-joins the
+#: profile texts table down to the ids the gated survivor set actually
+#: touches BEFORE the per-branch pair joins — at 10^12 rows the full
+#: corpus text never enters the verify shuffles, only the candidates'.
+#: 'full' replays the legacy shape (whole texts table into both joins).
+#: EXECUTION knob — the verified output is identical by construction
+#: (every surviving pair's ids are in the filter set); env-selectable
+#: for interleaved A/B legs like ANNOT_STORAGE.
+VERIFY_TEXT_FILTER = _os.environ.get("SPARK_GRAFT_VERIFY_TEXT_FILTER", "semi")
+
 #: Row-id encoding of the hot pipeline interior (bands/candidate_pairs
 #: and verify's joins): 'cid' (default — int64 xxhash64(clip_id),
 #: mapped back to clip_id strings at verify's output) or 'clip_id'

@@ -137,6 +137,25 @@ def verify_pairs(
     # branch (the bulk — gram evidence is the most common survivor) needs
     # no cache at all now that its check is JVM-side.
     texts = profile.select(key, "norm_text")
+    if C.VERIFY_TEXT_FILTER == "semi":
+        # Prefilter texts to the ids the gated survivors actually touch:
+        # the survivor id set is a small fraction of the corpus (dup
+        # candidates cluster), so the CORPUS-sized texts table never
+        # enters the four pair joins below — only the candidates' texts
+        # do. The id set is pair-symmetric and computed from `rest`
+        # itself, so every joined pair's ids are present by construction
+        # (output identical to the 'full' shape; pytest-pinned). The
+        # distinct shuffles 8-byte ids (O(survivor pairs)), the filtered
+        # table is persisted because both branches join it twice, and at
+        # runtime AQE sees its real (post-filter) size when picking the
+        # join strategy — at 10^12 rows this is the difference between
+        # shuffling the whole corpus' text and the candidates' sliver.
+        surv_ids = (
+            rest.select(F.col("a").alias(key))
+            .unionByName(rest.select(F.col("b").alias(key)))
+            .distinct()
+        )
+        texts = texts.join(surv_ids, key, "left_semi").persist()
 
     def with_texts(df: DataFrame) -> DataFrame:
         return df.join(
@@ -201,6 +220,10 @@ def verify_pairs(
                 "jaccard",
             )
         )
-    # simj/jac stay cached until the caller materializes the result
-    # (CheckpointStore.write releases them).
-    return track_persisted(out, [simj, jac])
+    # simj/jac (and the semi-filtered texts) stay cached until the
+    # caller materializes the result (CheckpointStore.write releases
+    # them).
+    cached = [simj, jac]
+    if C.VERIFY_TEXT_FILTER == "semi":
+        cached.append(texts)
+    return track_persisted(out, cached)
