@@ -102,15 +102,21 @@ MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "oph-densified")
 #:               the cold/hot branches; only the window pass recomputes).
 ANNOT_STORAGE = _os.environ.get("SPARK_GRAFT_ANNOT_STORAGE", "memdisk")
 
-#: Verify-stage texts prefilter: 'semi' (default) left-semi-joins the
-#: profile texts table down to the ids the gated survivor set actually
-#: touches BEFORE the per-branch pair joins — at 10^12 rows the full
-#: corpus text never enters the verify shuffles, only the candidates'.
-#: 'full' replays the legacy shape (whole texts table into both joins).
-#: EXECUTION knob — the verified output is identical by construction
-#: (every surviving pair's ids are in the filter set); env-selectable
-#: for interleaved A/B legs like ANNOT_STORAGE.
-VERIFY_TEXT_FILTER = _os.environ.get("SPARK_GRAFT_VERIFY_TEXT_FILTER", "semi")
+#: Verify-stage texts prefilter: 'full' (default) joins the whole
+#: profile texts table into both pair branches; 'semi' first left-semi-
+#: joins texts down to the ids the gated survivor set actually touches,
+#: so at 10^12 rows the full corpus text never enters the verify
+#: shuffles — only the candidates'. Default is 'full' because the
+#: interleaved A/B at 2M/T8/tmpfs (BENCH/ab-verify-textfilter-t8-
+#: n2000000.json) measured semi ~17% SLOWER on the verify stage even
+#: with the survivor frame persisted: at bench scale the extra
+#: distinct + semi pass over texts costs more than the 4 text shuffles
+#: it shrinks. The crossover favors 'semi' when texts stop fitting the
+#: shuffle tier (corpus >> candidates), so it stays env-selectable for
+#: cluster runs. EXECUTION knob — the verified output is identical by
+#: construction (every surviving pair's ids are in the filter set;
+#: pytest-pinned semi==full).
+VERIFY_TEXT_FILTER = _os.environ.get("SPARK_GRAFT_VERIFY_TEXT_FILTER", "full")
 
 #: Row-id encoding of the hot pipeline interior (bands/candidate_pairs
 #: and verify's joins): 'cid' (default — int64 xxhash64(clip_id),

@@ -128,6 +128,13 @@ def verify_pairs(
         )
         .filter(needs_jac | needs_sub)
     )
+    if C.VERIFY_TEXT_FILTER == "semi":
+        # The semi path reads `rest` three times (id set + both
+        # branches); unlike the old 7 GB joined-texts cache this frame
+        # is ids+evidence counts only (~40 B/row), so persisting it is
+        # cheap and saves two recomputations of the sim-fallthrough
+        # union + gate.
+        rest = rest.persist()
 
     # texts joined ONLY for the gated survivors, PER BRANCH and AFTER the
     # branch filter. The previous shape joined texts onto the combined
@@ -225,5 +232,5 @@ def verify_pairs(
     # them).
     cached = [simj, jac]
     if C.VERIFY_TEXT_FILTER == "semi":
-        cached.append(texts)
+        cached.extend([rest, texts])
     return track_persisted(out, cached)
