@@ -214,7 +214,45 @@ def verify_pairs(
         # sliver, not the candidate set) and restore the user-facing
         # a < b STRING ordering the string-keyed engine committed
         # (det/method/hamming/jaccard are all pair-symmetric).
-        m = profile.select("cid", "clip_id")
+        #
+        # COLLISION GUARD: a cid carried by two clip_ids (odds ~n^2/2^65
+        # — reachable only by adversarial input or at ~10^9+ corpora)
+        # would fan this join out into verified pairs between texts that
+        # were never compared. The map table is therefore built by a
+        # groupBy that FAILS the job on any multi-clip cid instead of
+        # silently corrupting output. Cost: one exchange of (8B cid,
+        # clip_id) — ~0.5% of the pipeline's shuffle bytes at 8M rows —
+        # and the count/min aggregate is map-side-combined. Remediation
+        # is named in the error: SPARK_GRAFT_ID_KEY=string falls back to
+        # the collision-free string-keyed interior.
+        m = (
+            profile.select("cid", "clip_id")
+            .groupBy("cid")
+            .agg(
+                F.min("clip_id").alias("clip_id"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .withColumn(
+                "clip_id",
+                F.when(F.col("_n") == 1, F.col("clip_id")).otherwise(
+                    F.raise_error(
+                        F.concat_ws(
+                            "",
+                            F.lit("id-key collision: cid "),
+                            F.col("cid").cast("string"),
+                            F.lit(" is carried by "),
+                            F.col("_n").cast("string"),
+                            F.lit(
+                                " clip_ids; rerun with "
+                                "SPARK_GRAFT_ID_KEY=string "
+                                "(collision-free string-keyed interior)"
+                            ),
+                        )
+                    ).cast("string")
+                ),
+            )
+            .drop("_n")
+        )
         out = (
             out.join(m.select(F.col("cid").alias("a"), F.col("clip_id").alias("a_str")), "a")
             .join(m.select(F.col("cid").alias("b"), F.col("clip_id").alias("b_str")), "b")

@@ -136,3 +136,52 @@ def test_text_filter_modes_identical(spark, monkeypatch):
     monkeypatch.setattr(C, "VERIFY_TEXT_FILTER", "full")
     full = run()
     assert semi == full and len(semi) >= 3
+
+
+def _cid_profile(spark, rows):
+    """(cid, clip_id, text) rows with the cid EXPLICIT, so a test can
+    inject the xxhash64 collision that is unconstructable from real
+    clip_ids (odds ~n^2/2^65)."""
+    sigs = R.simhash64_batch([t for _, _, t in rows])
+    data = [
+        (cid, clip_id, R.normalize_text(t), int(s))
+        for (cid, clip_id, t), s in zip(rows, sigs)
+    ]
+    return spark.createDataFrame(
+        data, "cid long, clip_id string, norm_text string, simhash long"
+    )
+
+
+def _cid_pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "a long, b long, det string, mh_hits long, gram_hits long, starred int"
+    )
+
+
+def test_cid_mapback_roundtrip(spark):
+    """cid-keyed pairs come back as clip_id strings, a < b restored."""
+    profile = _cid_profile(
+        spark, [(1, "zz-late", "same text"), (2, "aa-early", "same text")]
+    )
+    pairs = _cid_pairs(spark, [(1, 2, "exact", 0, 0, 0)])
+    got = verify_pairs(pairs, profile).collect()
+    assert [(r.a, r.b, r.method) for r in got] == [("aa-early", "zz-late", "exact")]
+
+
+def test_cid_collision_raises_not_corrupts(spark):
+    """A cid carried by two clip_ids must FAIL the job (with the
+    SPARK_GRAFT_ID_KEY remediation named), never fan the map-back join
+    out into verified pairs between texts that were never compared."""
+    import pytest
+
+    profile = _cid_profile(
+        spark,
+        [
+            (1, "doc-p", "same text"),
+            (1, "doc-q", "totally different words"),  # the collision
+            (2, "doc-r", "same text"),
+        ],
+    )
+    pairs = _cid_pairs(spark, [(1, 2, "exact", 0, 0, 0)])
+    with pytest.raises(Exception, match="(?i)collision"):
+        verify_pairs(pairs, profile).collect()
