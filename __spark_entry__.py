@@ -486,13 +486,27 @@ def _docs_as_clips(spark, sf_dir):
 
 
 def q_simhash_signatures(spark, sf_dir):
+    """ORACLE-CHECKED structure of the SimHash encoder output (the
+    64-bit VALUES have no relational recomputation — they stay pinned
+    by golden vectors + property tests, tests/test_signatures_spark.py,
+    tests/test_properties.py — but the encoder CONTRACT does): exactly
+    one signature per document, every doc_id a real documents row, the
+    materialized norm_text equal to a relational re-derivation of the
+    normalization (lower+trim+ws-collapse; asserted on ASCII rows,
+    where casefold/NFC are identity), and the encoder a FUNCTION of
+    norm_text — identical normalized text never maps to two different
+    signatures (catches per-partition seed drift / nondeterminism).
+    The (doc_id, norm_text, simhash) triple is materialized to a side
+    parquet; DuckDB re-asserts the contract over the same file, and any
+    structural break drops all rows and fails the gate's hash compare."""
     from simhash_spark.functions.signatures import normalize_udf, simhash64_udf
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        simhash64_udf(normalize_udf(F.col("text"))).alias("simhash"),
-    )
+    audit = d.select(
+        "doc_id", normalize_udf(F.col("text")).alias("norm_text")
+    ).select("doc_id", "norm_text", simhash64_udf("norm_text").alias("simhash"))
+    audit.write.mode("overwrite").parquet(_SIG_AUDIT_PATH)
+    return spark.read.parquet(_SIG_AUDIT_PATH).select("doc_id", "simhash")
 
 
 def q_minhash_bands(spark, sf_dir):
@@ -587,6 +601,7 @@ _SIDE_DIR = os.path.join(tempfile.gettempdir(), f"simhash-oracle-side-{os.getpid
 _HAMMING_AUDIT_PATH = os.path.join(_SIDE_DIR, "hamming_audit.parquet")
 _OVERLAP_AUDIT_PATH = os.path.join(_SIDE_DIR, "overlap_audit.parquet")
 _BANDS_AUDIT_PATH = os.path.join(_SIDE_DIR, "bands_audit.parquet")
+_SIG_AUDIT_PATH = os.path.join(_SIDE_DIR, "sig_audit.parquet")
 _VERIFY_AUDIT_PATH = os.path.join(_SIDE_DIR, "verify_audit.parquet")
 _CC_NODES_PATH = os.path.join(_SIDE_DIR, "cc_nodes.parquet")
 _CC_EDGES_PATH = os.path.join(_SIDE_DIR, "cc_edges.parquet")
@@ -912,8 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_span_pairs": q_overlap_span_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
-        # Spark-only (rows-only check):
         "simhash_signatures": q_simhash_signatures,
+        # Spark-only (rows-only check):
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
@@ -1085,6 +1100,27 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
             FROM read_parquet('{_HAMMING_AUDIT_PATH}/*.parquet')
             WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        """,
+        "simhash_signatures": f"""
+            WITH s AS (SELECT * FROM read_parquet('{_SIG_AUDIT_PATH}/*.parquet')),
+                 fn AS (
+                   -- the encoder must be a FUNCTION of norm_text
+                   SELECT norm_text FROM s GROUP BY norm_text
+                   HAVING count(DISTINCT simhash) = 1),
+                 cover AS (
+                   SELECT (SELECT count(*) FROM s) = (SELECT count(*) FROM documents)
+                      AND (SELECT count(*) FROM s JOIN documents USING (doc_id))
+                          = (SELECT count(*) FROM documents)
+                      AND (SELECT count(DISTINCT norm_text) FROM s)
+                          = (SELECT count(*) FROM fn)
+                      -- norm_text re-derived relationally (ASCII rows,
+                      -- where casefold/NFC are identity with lower)
+                      AND (SELECT count(*) FROM s JOIN documents USING (doc_id)
+                           WHERE coalesce(text, '') = regexp_replace(
+                                   coalesce(text, ''), '[^\\x00-\\x7F]', '', 'g')
+                             AND s.norm_text != {_NORM_SQL.format(c="coalesce(text, '')")}
+                          ) = 0 AS ok)
+            SELECT s.doc_id, s.simhash FROM s, cover WHERE cover.ok
         """,
         "minhash_bands": f"""
             WITH b AS (SELECT * FROM read_parquet('{_BANDS_AUDIT_PATH}/*.parquet')),
