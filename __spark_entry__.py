@@ -602,6 +602,7 @@ _HAMMING_AUDIT_PATH = os.path.join(_SIDE_DIR, "hamming_audit.parquet")
 _OVERLAP_AUDIT_PATH = os.path.join(_SIDE_DIR, "overlap_audit.parquet")
 _BANDS_AUDIT_PATH = os.path.join(_SIDE_DIR, "bands_audit.parquet")
 _SIG_AUDIT_PATH = os.path.join(_SIDE_DIR, "sig_audit.parquet")
+_AUDIO_FEAT_AUDIT_PATH = os.path.join(_SIDE_DIR, "audio_feat_audit.parquet")
 _VERIFY_AUDIT_PATH = os.path.join(_SIDE_DIR, "verify_audit.parquet")
 _CC_NODES_PATH = os.path.join(_SIDE_DIR, "cc_nodes.parquet")
 _CC_EDGES_PATH = os.path.join(_SIDE_DIR, "cc_edges.parquet")
@@ -714,16 +715,30 @@ def q_overlap_span_pairs(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     """Multimodal: synthetic WAV clips -> real numpy acoustic features
-    via mapInPandas (sf_dir unused: clips are generated deterministically)."""
-    import pandas as pd
+    via mapInPandas (sf_dir unused: clips are generated deterministically).
 
+    ORACLE-CHECKED at the VALUE level: the WAV decode has no SQL
+    equivalent (pinned by tests/test_audio.py golden decode tests), but
+    the feature MATH does — the decoded int16 PCM is materialized next
+    to the claimed features in a side parquet, and DuckDB re-derives
+    n_samples = len(samples), rms = sqrt(mean((s/32768)^2)) and
+    zcr = mean(sign-bit flips between adjacent samples) from the same
+    samples (exact integer inputs; /32768 is a power-of-two division, so
+    both engines see bit-identical terms and only the float summation
+    order differs — orders of magnitude below the 6-dp rounding both
+    sides apply). A wrong normalization constant, off-by-one framing, or
+    a zcr sign-convention drift fails the hash compare. sr_hz rides
+    along as decoded (structural passthrough)."""
     from simhash_spark.functions.audio import audio_features
     from simhash_spark.sources.synth import make_clips
 
     clips_pd, _ = make_clips(200, seed=42, dur_ms_range=(300, 800))
     df = spark.createDataFrame(clips_pd[["clip_id", "bytes"]])
-    feats = audio_features(df)
-    return feats.select(
+    feats = audio_features(df, keep_samples=True)
+    feats.select(
+        "clip_id", "sr_hz", "n_samples", "rms", "zcr", "samples"
+    ).write.mode("overwrite").parquet(_AUDIO_FEAT_AUDIT_PATH)
+    return spark.read.parquet(_AUDIO_FEAT_AUDIT_PATH).select(
         "clip_id",
         "sr_hz",
         "n_samples",
@@ -928,11 +943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "verified_dup_pairs": q_verified_dup_pairs,
         "simhash_signatures": q_simhash_signatures,
-        # Spark-only (rows-only check):
         "audio_features": q_audio_features,
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        # Spark-only (rows-only check — ML training loop, no oracle):
         "classifier_train_eval": q_classifier_train_eval,
     }
 
@@ -1100,6 +1115,19 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
             FROM read_parquet('{_HAMMING_AUDIT_PATH}/*.parquet')
             WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        """,
+        "audio_features": f"""
+            SELECT clip_id, sr_hz,
+                   len(samples)::BIGINT AS n_samples,
+                   round(CASE WHEN len(samples) = 0 THEN 0.0
+                              ELSE sqrt(list_sum(list_transform(samples,
+                                     v -> (v / 32768.0) * (v / 32768.0)))
+                                   / len(samples)) END, 6) AS rms,
+                   round(CASE WHEN len(samples) <= 1 THEN 0.0
+                              ELSE len(list_filter(range(2, len(samples) + 1),
+                                     i -> (samples[i] < 0) != (samples[i - 1] < 0)
+                                   ))::DOUBLE / (len(samples) - 1) END, 6) AS zcr
+            FROM read_parquet('{_AUDIO_FEAT_AUDIT_PATH}/*.parquet')
         """,
         "simhash_signatures": f"""
             WITH s AS (SELECT * FROM read_parquet('{_SIG_AUDIT_PATH}/*.parquet')),

@@ -63,10 +63,21 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def audio_features(df, n_frames: int = 16):
+def audio_features(df, n_frames: int = 16, keep_samples: bool = False):
     """clips(clip_id, bytes) -> per-clip acoustic features via mapInPandas
     (Arrow batches; audio never leaves the executor). Real numpy compute:
-    RMS, peak, zero-crossing rate, n_frames-bucket energy profile."""
+    RMS, peak, zero-crossing rate, n_frames-bucket energy profile.
+
+    ``keep_samples=True`` additionally emits the decoded int16 PCM as a
+    ``samples int[]`` column — an AUDIT hook (the oracle gate re-derives
+    rms/zcr/n_samples relationally from it); leave it off in pipelines,
+    it multiplies the row width by the clip length."""
+
+    schema = _FEATURE_SCHEMA
+    if keep_samples:
+        schema = T.StructType(
+            schema.fields + [T.StructField("samples", T.ArrayType(T.IntegerType()))]
+        )
 
     def op(batches):
         for pdf in batches:
@@ -75,7 +86,7 @@ def audio_features(df, n_frames: int = 16):
                 try:
                     sr, s = decode_wav(bytes(raw))
                 except Exception:
-                    rows.append((cid, 0, 0, 0.0, 0.0, 0.0, [0.0] * n_frames))
+                    rows.append((cid, 0, 0, 0.0, 0.0, 0.0, [0.0] * n_frames, []))
                     continue
                 x = s.astype(np.float64) / 32768.0
                 n = len(x)
@@ -90,21 +101,21 @@ def audio_features(df, n_frames: int = 16):
                     )
                 else:
                     fe = [0.0] * n_frames
-                rows.append((cid, sr, n, rms, peak, zcr, fe))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "clip_id",
-                    "sr_hz",
-                    "n_samples",
-                    "rms",
-                    "peak",
-                    "zcr",
-                    "frame_energy",
-                ],
-            )
+                rows.append((cid, sr, n, rms, peak, zcr, fe, s.tolist()))
+            cols = [
+                "clip_id",
+                "sr_hz",
+                "n_samples",
+                "rms",
+                "peak",
+                "zcr",
+                "frame_energy",
+                "samples",
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            yield out if keep_samples else out.drop(columns=["samples"])
 
-    return df.select("clip_id", "bytes").mapInPandas(op, schema=_FEATURE_SCHEMA)
+    return df.select("clip_id", "bytes").mapInPandas(op, schema=schema)
 
 
 # ---------------------------------------------------------------------------
