@@ -55,6 +55,25 @@ def test_audio_features_real_compute(spark):
         assert all(e >= 0 for e in r.frame_energy)
 
 
+def test_audio_features_keep_samples_is_the_decode(spark):
+    """The keep_samples audit hook must emit EXACTLY the decoded int16
+    PCM (the oracle gate re-derives rms/zcr/n_samples from it — a
+    resampled/clipped/re-scaled copy would make that audit circularly
+    pass on wrong features)."""
+    from simhash_spark.sources.synth import decode_wav
+
+    clips_pd, _ = make_clips(5, seed=11)
+    df = spark.createDataFrame(clips_pd[["clip_id", "bytes"]])
+    feats = {r.clip_id: r for r in audio_features(df, keep_samples=True).collect()}
+    default_cols = set(audio_features(df).columns)
+    assert "samples" not in default_cols  # pipelines keep the narrow row
+    for cid, raw in zip(clips_pd["clip_id"], clips_pd["bytes"]):
+        _, s = decode_wav(bytes(raw))
+        r = feats[cid]
+        assert r.samples == s.tolist()
+        assert r.n_samples == len(s)
+
+
 def test_transcode_stub_gated(spark):
     clips_pd, _ = make_clips(5, seed=3)
     df = spark.createDataFrame(clips_pd)
