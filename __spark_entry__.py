@@ -608,6 +608,7 @@ _CC_NODES_PATH = os.path.join(_SIDE_DIR, "cc_nodes.parquet")
 _CC_EDGES_PATH = os.path.join(_SIDE_DIR, "cc_edges.parquet")
 _AUDIO_FP_AUDIT_PATH = os.path.join(_SIDE_DIR, "audio_fp_audit.parquet")
 _SRP_CAND_PATH = os.path.join(_SIDE_DIR, "srp_candidates.parquet")
+_CLS_AUDIT_DIR = os.path.join(_SIDE_DIR, "classifier_audit")
 _IVF_CAND_PATH = os.path.join(_SIDE_DIR, "ivf_candidates.parquet")
 
 
@@ -803,7 +804,22 @@ def q_classifier_train_eval(spark, sf_dir):
     similarity to trained exemplars): deterministic synth corpus, family
     labels from the generator's truth pairs, first ~70%% of each family
     trains, the held-out variants test. One row of train/test accuracy
-    per iteration (the reference's per-iter stats shape); sf_dir unused."""
+    per iteration (the reference's per-iter stats shape); sf_dir unused.
+
+    ORACLE-CHECKED at the VALUE level: the SGD updates themselves are
+    the ML loop (no SQL equivalent), but every NUMBER this query reports
+    is a pure function of facts the run materializes (`fit(audit_sink=)`)
+    — the encoded corpora (split, ex_id, y, active col list) and every
+    epoch-boundary weight snapshot (snap k = weights after k averaged
+    updates, bias as col = -1). DuckDB re-derives, from those parquets
+    alone, each example's logit per label (SUM of its cols' weights +
+    bias — softmax is monotone, so argmax over logits IS the engine's
+    prediction, ties -> lowest label index exactly like np.argmax),
+    iteration it's train accuracy against snap it-1 (the engine scores
+    train vs epoch-START weights) and test accuracy against snap it,
+    plus both corpus counts. A wrong argmax, a mis-scored iteration
+    boundary, an aggregation bug, or stats that drift from the model
+    that was actually learned all fail the hash compare."""
     from simhash_spark.ml import SimHashClassifier, V2Opts
     from simhash_spark.sources.synth import make_clips
 
@@ -840,7 +856,7 @@ def q_classifier_train_eval(spark, sf_dir):
     train = spark.createDataFrame(rows_tr, schema)
     valid = spark.createDataFrame(rows_te, schema)
     m = SimHashClassifier(V2Opts())
-    hist = m.fit(spark, train, valid, iters=5)
+    hist = m.fit(spark, train, valid, iters=5, audit_sink=_CLS_AUDIT_DIR)
     return spark.createDataFrame(
         [
             (
@@ -1149,6 +1165,51 @@ def oracle_sql() -> dict[str, str]:
                              AND s.norm_text != {_NORM_SQL.format(c="coalesce(text, '')")}
                           ) = 0 AS ok)
             SELECT s.doc_id, s.simhash FROM s, cover WHERE cover.ok
+        """,
+        "classifier_train_eval": f"""
+            WITH ex AS (SELECT *
+                        FROM read_parquet('{_CLS_AUDIT_DIR}/examples/*.parquet')),
+                 wt AS (SELECT *
+                        FROM read_parquet('{_CLS_AUDIT_DIR}/weights/*.parquet')),
+                 -- iteration it scores train vs snap it-1 (epoch start)
+                 -- and test vs snap it (epoch end)
+                 need AS (
+                   SELECT it, 'train' AS split, it - 1 AS snap
+                   FROM generate_series(1, 5) t(it)
+                   UNION ALL
+                   SELECT it, 'test' AS split, it AS snap
+                   FROM generate_series(1, 5) t(it)),
+                 -- logit per (iteration, example, label): sum of the
+                 -- example's active-column weights (multiplicity kept
+                 -- by the exploded rows) + bias (col = -1); softmax is
+                 -- monotone so argmax over logits is the prediction
+                 sc AS (
+                   SELECT n.it, n.split, n.snap, e.ex_id,
+                          any_value(e.y) AS y, w.lab, sum(w.w) AS s
+                   FROM need n
+                   JOIN ex e ON e.split = n.split
+                   JOIN wt w ON w.snap = n.snap AND w.col = e.col
+                   GROUP BY n.it, n.split, n.snap, e.ex_id, w.lab),
+                 pred AS (
+                   SELECT sc.it, sc.split, sc.ex_id, any_value(sc.y) AS y,
+                          (array_agg(sc.lab
+                             ORDER BY sc.s + b.w DESC, sc.lab ASC))[1] AS p
+                   FROM sc JOIN wt b
+                     ON b.snap = sc.snap AND b.lab = sc.lab AND b.col = -1
+                   GROUP BY sc.it, sc.split, sc.ex_id),
+                 acc AS (
+                   SELECT it, split, count(*) AS n,
+                          round(avg(CASE WHEN p = y THEN 1.0 ELSE 0.0 END),
+                                6) AS a
+                   FROM pred GROUP BY it, split)
+            SELECT t.it::INTEGER AS iteration,
+                   tr.n::BIGINT AS train_count,
+                   coalesce(te.n, 0)::BIGINT AS test_count,
+                   tr.a AS train_accuracy,
+                   te.a AS test_accuracy
+            FROM generate_series(1, 5) t(it)
+            LEFT JOIN acc tr ON tr.it = t.it AND tr.split = 'train'
+            LEFT JOIN acc te ON te.it = t.it AND te.split = 'test'
         """,
         "minhash_bands": f"""
             WITH b AS (SELECT * FROM read_parquet('{_BANDS_AUDIT_PATH}/*.parquet')),

@@ -435,6 +435,7 @@ class SimHashClassifier:
         lr: float = 0.5,
         stats_path: str | None = None,
         n_partitions: int | None = None,
+        audit_sink: str | None = None,
     ) -> list[dict]:
         """L1: full-batch distributed softmax GD for ``iters`` epochs.
 
@@ -455,7 +456,18 @@ class SimHashClassifier:
         sorted within partitions by a content key, so the same data +
         same n_partitions always yields the same model; parameter
         averaging keeps accuracy stable across different counts (Mann &
-        McDonald et al., distributed perceptron averaging)."""
+        McDonald et al., distributed perceptron averaging).
+
+        ``audit_sink`` (test/audit hook, bounded corpora only): when set,
+        materializes the oracle facts behind the per-iter stats —
+        ``<sink>/examples`` (split, ex_id, y, col: the encoded corpora,
+        one row per active SDR column) and ``<sink>/weights`` (snap, col,
+        lab, w: every epoch-boundary weight snapshot, bias as col = -1)
+        — so an external engine can re-derive each iteration's argmax
+        predictions and accuracies from first principles (the gate's
+        ``classifier_train_eval`` DuckDB oracle). Costs
+        O(column_size x labels x iters) driver memory + a full write of
+        the encoded corpus; never enable on a production-scale input."""
         from simhash_spark.operators.labeled import label_dictionary
 
         started_at = time.time()
@@ -494,6 +506,33 @@ class SimHashClassifier:
             vcoded = valid.select(y_col.alias("y"), enc("msg").alias("cols")).localCheckpoint()
         train_count = encoded.count()
         test_count = vcoded.count() if vcoded is not None else 0
+
+        snaps: list[tuple[np.ndarray, np.ndarray]] = []
+        if audit_sink:
+            # Oracle facts, part 1: the encoded corpora. ex_id only ties
+            # an example's exploded cols rows back together — its value
+            # is arbitrary (monotonic ids are assigned per pre-explode
+            # row, so the grouping is exact); split disambiguates the
+            # two id spaces.
+            ex = encoded.select(
+                F.lit("train").alias("split"),
+                F.monotonically_increasing_id().alias("ex_id"),
+                "y",
+                "cols",
+            )
+            if vcoded is not None:
+                ex = ex.unionByName(
+                    vcoded.select(
+                        F.lit("test").alias("split"),
+                        F.monotonically_increasing_id().alias("ex_id"),
+                        "y",
+                        "cols",
+                    )
+                )
+            ex.select(
+                "split", "ex_id", "y", F.explode("cols").alias("col")
+            ).write.mode("overwrite").parquet(os.path.join(audit_sink, "examples"))
+            snaps.append((self.W.copy(), self.b.copy()))
 
         grad_schema = T.StructType(
             [
@@ -576,6 +615,39 @@ class SimHashClassifier:
             stats_hist.append(stats)
             if stats_path:
                 _atomic_json(stats_path, stats)
+            if audit_sink:
+                snaps.append((self.W.copy(), self.b.copy()))
+        if audit_sink:
+            # Oracle facts, part 2: every epoch-boundary weight snapshot
+            # (snap k = weights after k averaged updates; iteration it's
+            # train accuracy is scored against snap it-1, its test
+            # accuracy against snap it). Bias rides as col = -1.
+            frames = []
+            for k, (Wk, bk) in enumerate(snaps):
+                nc, nl = Wk.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "snap": np.int32(k),
+                            "col": np.repeat(np.arange(nc, dtype=np.int32), nl),
+                            "lab": np.tile(np.arange(nl, dtype=np.int32), nc),
+                            "w": Wk.ravel(),
+                        }
+                    )
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "snap": np.int32(k),
+                            "col": np.full(nl, -1, dtype=np.int32),
+                            "lab": np.arange(nl, dtype=np.int32),
+                            "w": bk.astype(np.float64),
+                        }
+                    )
+                )
+            spark.createDataFrame(pd.concat(frames, ignore_index=True)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(audit_sink, "weights"))
         return stats_hist
 
     def _eval_encoded(self, encoded: DataFrame) -> float:

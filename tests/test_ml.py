@@ -351,3 +351,85 @@ def test_sp_learning_classifier_meets_reference_bar(tmp_path):
     # identical post-load inference
     for lb, msg in valid:
         assert m.infer_one(msg) == m2.infer_one(msg)
+
+
+# --- audit_sink: the classifier_train_eval oracle's facts -------------------
+
+
+def test_fit_audit_sink_oracle_rederivation_and_falsifiers(spark, tmp_path):
+    """fit(audit_sink=) materializes the encoded corpora + epoch-boundary
+    weight snapshots; DuckDB re-derives every reported stat from those
+    facts alone (argmax over summed col weights + bias, train vs snap
+    it-1, test vs snap it) — the gate's classifier_train_eval oracle.
+    Falsifiers: scoring train against the epoch-END snapshot, or
+    breaking argmax ties toward the HIGHEST label, must disagree — the
+    oracle detects a mis-scored iteration boundary and a wrong tie rule
+    (the corpus is label-imbalanced so the iteration-1 all-zero-weights
+    tie resolves to measurably different accuracies)."""
+    import duckdb
+
+    # Imbalanced families: fam0 has 7 train rows, fam1-3 have 3 each.
+    rows_tr, rows_te, line = [], [], 0
+    for fam, n in (("fam0", 9), ("fam1", 5), ("fam2", 5), ("fam3", 5)):
+        for v in range(n):
+            tgt = rows_tr if v < n - 2 else rows_te
+            tgt.append((line, fam, f"{fam} message body variant {v} " * 3))
+            line += 1
+    schema = "line_id long, label string, msg string"
+    train = spark.createDataFrame(rows_tr, schema)
+    valid = spark.createDataFrame(rows_te, schema)
+
+    m = SimHashClassifier(V2Opts())
+    sink = str(tmp_path / "audit")
+    hist = m.fit(spark, train, valid, iters=3, audit_sink=sink)
+
+    def rederive(train_snap_expr: str, tie_order: str):
+        con = duckdb.connect()
+        return con.execute(
+            f"""
+            WITH ex AS (SELECT * FROM read_parquet('{sink}/examples/*.parquet')),
+                 wt AS (SELECT * FROM read_parquet('{sink}/weights/*.parquet')),
+                 need AS (
+                   SELECT it, 'train' AS split, {train_snap_expr} AS snap
+                   FROM generate_series(1, 3) t(it)
+                   UNION ALL
+                   SELECT it, 'test' AS split, it AS snap
+                   FROM generate_series(1, 3) t(it)),
+                 sc AS (
+                   SELECT n.it, n.split, n.snap, e.ex_id,
+                          any_value(e.y) AS y, w.lab, sum(w.w) AS s
+                   FROM need n
+                   JOIN ex e ON e.split = n.split
+                   JOIN wt w ON w.snap = n.snap AND w.col = e.col
+                   GROUP BY n.it, n.split, n.snap, e.ex_id, w.lab),
+                 pred AS (
+                   SELECT sc.it, sc.split, sc.ex_id, any_value(sc.y) AS y,
+                          (array_agg(sc.lab
+                             ORDER BY sc.s + b.w DESC, sc.lab {tie_order}))[1] AS p
+                   FROM sc JOIN wt b
+                     ON b.snap = sc.snap AND b.lab = sc.lab AND b.col = -1
+                   GROUP BY sc.it, sc.split, sc.ex_id)
+            SELECT it, split, count(*) AS n,
+                   round(avg(CASE WHEN p = y THEN 1.0 ELSE 0.0 END), 6) AS a
+            FROM pred GROUP BY it, split ORDER BY it, split
+            """
+        ).fetchall()
+
+    good = {(it, sp): (n, a) for it, sp, n, a in rederive("it - 1", "ASC")}
+    for h in hist:
+        it = h["iteration"]
+        assert good[(it, "train")] == (h["train_count"], h["train_accuracy"])
+        assert good[(it, "test")] == (h["test_count"], h["test_accuracy"])
+
+    # Falsifier 1: train scored against the epoch-END snapshot diverges.
+    bad_snap = {(it, sp): (n, a) for it, sp, n, a in rederive("it", "ASC")}
+    assert any(
+        bad_snap[(h["iteration"], "train")][1] != h["train_accuracy"] for h in hist
+    )
+    # Falsifier 2: ties -> highest label diverges (iteration 1 scores
+    # train against all-zero weights: every logit ties, np.argmax says
+    # label 0, so accuracy must equal fam0's train share — not fam3's).
+    bad_tie = {(it, sp): (n, a) for it, sp, n, a in rederive("it - 1", "DESC")}
+    n_tr = len(rows_tr)
+    assert good[(1, "train")][1] == round(7 / n_tr, 6)
+    assert bad_tie[(1, "train")][1] == round(3 / n_tr, 6)
