@@ -262,11 +262,22 @@ def _token_spans(
 
 
 def _simhash_from_hashed(
-    flat_hashes: np.ndarray, flat_weights: np.ndarray, row_starts: np.ndarray, n_rows: int
+    flat_hashes: np.ndarray,
+    flat_weights: np.ndarray | None,
+    row_starts: np.ndarray,
+    n_rows: int,
 ) -> np.ndarray:
     """Core bit-vote kernel. flat_* are per-feature arrays sorted by row;
     row_starts[i] is the offset of row i's first feature (len n_rows+1).
     Returns int64 signatures (two's-complement of the packed 64 bits).
+
+    ``flat_weights=None`` means UNIT weights — one vote per OCCURRENCE.
+    Because the simhash feature weight is the occurrence count,
+    sum_over_unique(count * bit) == sum_over_occurrences(bit), so feeding
+    raw (un-deduplicated) occurrences with unit weights yields
+    bit-identical signatures while skipping the per-bit multiply (and,
+    at the caller, the O(n log n) lexsort dedup that used to build the
+    counts — the kernel's former top cost).
 
     Memory-light: one pass per bit position (64 reduceats over the flat
     feature arrays) instead of materializing an (n_features, 64) vote
@@ -283,14 +294,23 @@ def _simhash_from_hashed(
     # the final nonempty row whenever empty rows trailed the batch —
     # found by hypothesis, tests/test_properties.py.)
     ne_idx = row_starts[:-1][nonempty]
-    w = flat_weights.astype(np.int64)
-    totw = np.add.reduceat(w, ne_idx)
     packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
-    for bit in range(C.SIG_BITS):
-        wb = w * ((flat_hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-        s1 = np.add.reduceat(wb, ne_idx)
-        bitval = (2 * s1 - totw) > 0  # sign threshold; ties -> 0
-        packed |= bitval.astype(np.uint64) << np.uint64(bit)
+    if flat_weights is None:
+        totw = np.diff(row_starts)[nonempty].astype(np.uint64)
+        one = np.uint64(1)
+        two = np.uint64(2)
+        for bit in range(C.SIG_BITS):
+            s1 = np.add.reduceat((flat_hashes >> np.uint64(bit)) & one, ne_idx)
+            bitval = two * s1 > totw  # sign threshold; ties -> 0
+            packed |= bitval.astype(np.uint64) << np.uint64(bit)
+    else:
+        w = flat_weights.astype(np.int64)
+        totw = np.add.reduceat(w, ne_idx)
+        for bit in range(C.SIG_BITS):
+            wb = w * ((flat_hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            s1 = np.add.reduceat(wb, ne_idx)
+            bitval = (2 * s1 - totw) > 0  # sign threshold; ties -> 0
+            packed |= bitval.astype(np.uint64) << np.uint64(bit)
     out[nonempty] = packed.astype(np.int64)
     return out
 
@@ -331,21 +351,31 @@ def _simhash64_chunk(norms: Sequence[str]) -> np.ndarray:
     S, pw = _span_prefix(c)
     trow, ti, tj = _token_spans(c, row_start)
     grow, gi, gj = _kgram_spans(row_start, lens, C.CHAR_SHINGLE_K, True)
-    rows = np.concatenate([trow, grow])
-    ids = np.concatenate([_span_hash(S, pw, ti, tj), _span_hash(S, pw, gi, gj)])
     row_starts = np.zeros(n + 1, dtype=np.int64)
-    if len(ids) == 0:
-        return _simhash_from_hashed(
-            np.empty(0, np.uint64), np.empty(0, np.int64), row_starts, n
-        )
-    order = np.lexsort((ids, rows))
-    rs, hs = rows[order], ids[order]
-    new = np.ones(len(rs), dtype=bool)
-    new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
-    uniq_rows, uniq_ids = rs[new], hs[new]
-    weights = np.diff(np.append(np.flatnonzero(new), len(rs)))  # run lengths
-    np.cumsum(np.bincount(uniq_rows, minlength=n), out=row_starts[1:])
-    return _simhash_from_hashed(uniq_ids, weights.astype(np.int64), row_starts, n)
+    if len(trow) + len(grow) == 0:
+        return _simhash_from_hashed(np.empty(0, np.uint64), None, row_starts, n)
+    # Occurrence voting: because weight == occurrence count, the unique-
+    # feature dedup (a lexsort over every span — formerly 44% of this
+    # kernel) is value-neutral; feed ALL occurrences with unit weights.
+    # The token and gram span streams are each already sorted by row, so
+    # grouping by row is a vectorized two-run interleave, not a sort.
+    ids_t = _span_hash(S, pw, ti, tj)
+    ids_g = _span_hash(S, pw, gi, gj)
+    cnt_t = np.bincount(trow, minlength=n).astype(np.int64)
+    cnt_g = np.bincount(grow, minlength=n).astype(np.int64)
+    np.cumsum(cnt_t + cnt_g, out=row_starts[1:])
+    flat = np.empty(len(ids_t) + len(ids_g), dtype=np.uint64)
+    st_t = np.zeros(n + 1, np.int64)
+    np.cumsum(cnt_t, out=st_t[1:])
+    st_g = np.zeros(n + 1, np.int64)
+    np.cumsum(cnt_g, out=st_g[1:])
+    if len(trow):
+        flat[row_starts[trow] + (np.arange(len(trow)) - st_t[trow])] = ids_t
+    if len(grow):
+        flat[
+            row_starts[grow] + cnt_t[grow] + (np.arange(len(grow)) - st_g[grow])
+        ] = ids_g
+    return _simhash_from_hashed(flat, None, row_starts, n)
 
 
 def simhash64_batch(texts: Iterable[str | None]) -> np.ndarray:
@@ -382,17 +412,22 @@ def shingle_ids(norm_text: str) -> np.ndarray:
 
 def _row_distinct_shingle_ids(
     norms: Sequence[str],
+    distinct: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch shingling: -> (row_idx, ids, starts) where ids are DISTINCT
     per row, sorted by (row, id); starts has len n+1. v2: shingles are
     spans of the flat codepoint array hashed vectorized (span-poly-v2),
     then deduped per row via lexsort — no per-row Python at all.
-    Chunked like simhash (per-row results concatenate exactly)."""
+    Chunked like simhash (per-row results concatenate exactly).
+
+    ``distinct=False`` skips the dedup lexsort and returns ALL shingle
+    occurrences in text order (still grouped by row) — for consumers
+    that are multiset-insensitive (min-per-bin OPH minhash)."""
     bounds = _chunk_bounds(norms)
     if len(bounds) > 1:
         rows_l, ids_l, starts_l = [], [], [np.zeros(1, dtype=np.int64)]
         for r0, r1 in bounds:
-            ri, xi, si = _row_distinct_shingle_chunk(norms[r0:r1])
+            ri, xi, si = _row_distinct_shingle_chunk(norms[r0:r1], distinct)
             rows_l.append(ri + r0)
             ids_l.append(xi)
             starts_l.append(si[1:] + starts_l[-1][-1])
@@ -401,11 +436,12 @@ def _row_distinct_shingle_ids(
             np.concatenate(ids_l),
             np.concatenate(starts_l),
         )
-    return _row_distinct_shingle_chunk(norms)
+    return _row_distinct_shingle_chunk(norms, distinct)
 
 
 def _row_distinct_shingle_chunk(
     norms: Sequence[str],
+    distinct: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = len(norms)
     starts = np.zeros(n + 1, dtype=np.int64)
@@ -415,11 +451,14 @@ def _row_distinct_shingle_chunk(
         return np.empty(0, np.int64), np.empty(0, np.uint64), starts
     S, pw = _span_prefix(c)
     flat_ids = _span_hash(S, pw, i, j) % np.uint64(C.MINHASH_PRIME)
-    order = np.lexsort((flat_ids, row_idx))
-    rs, ids_s = row_idx[order], flat_ids[order]
-    keep = np.ones(len(ids_s), dtype=bool)
-    keep[1:] = (rs[1:] != rs[:-1]) | (ids_s[1:] != ids_s[:-1])
-    rs, x = rs[keep], ids_s[keep]
+    if distinct:
+        order = np.lexsort((flat_ids, row_idx))
+        rs, ids_s = row_idx[order], flat_ids[order]
+        keep = np.ones(len(ids_s), dtype=bool)
+        keep[1:] = (rs[1:] != rs[:-1]) | (ids_s[1:] != ids_s[:-1])
+        rs, x = rs[keep], ids_s[keep]
+    else:
+        rs, x = row_idx, flat_ids  # already row-grouped (span order)
     counts = np.bincount(rs, minlength=n)
     np.cumsum(counts, out=starts[1:])
     return rs, x, starts
@@ -454,8 +493,14 @@ def jaccard_batch(norms_a: Sequence[str], norms_b: Sequence[str]) -> np.ndarray:
 
 def minhash_from_norm(norms: Sequence[str]) -> np.ndarray:
     """(n, NUM_PERM) int64 minhash signatures for ALREADY-normalized
-    texts. Empty shingle set -> all-MINHASH_EMPTY row."""
-    rs, x, starts = _row_distinct_shingle_ids(norms)
+    texts. Empty shingle set -> all-MINHASH_EMPTY row.
+
+    Under OPH the dedup is skipped (min-per-bin is multiset-insensitive;
+    values pytest-pinned identical) — the lexsort was the batch's top
+    cost. perm128 keeps it (its kernel pays per-shingle×NUM_PERM)."""
+    rs, x, starts = _row_distinct_shingle_ids(
+        norms, distinct=C.MINHASH_SCHEME != "oph-densified"
+    )
     return _minhash_from_row_ids(x, starts, len(norms))
 
 
@@ -633,16 +678,25 @@ def _mh_gram_bkeys_chunk(norms: Sequence[str]) -> list[np.ndarray]:
     S, pw = _span_prefix(c)
 
     # minhash leg — same steps as _row_distinct_shingle_chunk +
-    # _minhash_from_row_ids, sharing this chunk's prefix arrays.
+    # _minhash_from_row_ids, sharing this chunk's prefix arrays. Under
+    # OPH the per-row dedup lexsort (formerly 55% of this kernel) is
+    # SKIPPED: min-per-bin is multiset-insensitive (pytest-pinned,
+    # test_oph_duplicate_shingles_dont_change_signature) and the span
+    # stream is already row-sorted, so duplicates only add linear scatter
+    # work. perm128 keeps the dedup — its kernel pays 128 multiply-adds
+    # per (possibly duplicate) shingle, so there the sort is cheaper.
     row_idx, i, j = _kgram_spans(row_start, lens, C.MINHASH_SHINGLE_K, True)
     starts = np.zeros(n + 1, dtype=np.int64)
     if len(i):
         ids5 = _span_hash(S, pw, i, j) % np.uint64(C.MINHASH_PRIME)
-        order = np.lexsort((ids5, row_idx))
-        rs, vs = row_idx[order], ids5[order]
-        keep = np.ones(len(rs), dtype=bool)
-        keep[1:] = (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])
-        rs, vs = rs[keep], vs[keep]
+        if C.MINHASH_SCHEME == "oph-densified":
+            rs, vs = row_idx, ids5
+        else:
+            order = np.lexsort((ids5, row_idx))
+            rs, vs = row_idx[order], ids5[order]
+            keep = np.ones(len(rs), dtype=bool)
+            keep[1:] = (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])
+            rs, vs = rs[keep], vs[keep]
         np.cumsum(np.bincount(rs, minlength=n), out=starts[1:])
         sigs = _minhash_from_row_ids(vs, starts, n)
     else:
