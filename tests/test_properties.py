@@ -76,6 +76,37 @@ def test_simhash_batch_matches_scalar(texts):
         assert int(batch[i]) == R.simhash64(t)
 
 
+@given(TEXT)
+@example("ab ab ab ab x")  # heavy feature repetition
+@example("aaaa")  # one token whose 3-shingles overlap and repeat
+def test_simhash_occurrence_voting_equals_weighted_unique_voting(t):
+    """The kernel votes one ballot per feature OCCURRENCE (no dedup);
+    the defined semantics is one ballot per UNIQUE feature weighted by
+    its occurrence count (reference.simhash_features). This oracle
+    re-derives the signature the slow way — explicit dict of id->count
+    over the same span-poly ids, then a per-bit weighted vote in pure
+    Python — and must match the kernel exactly (the equivalence the
+    dedup-free rewrite rests on)."""
+    norm = R.normalize_text(t)
+    c, row_start, lens = R._flatten_norms([norm])
+    S, pw = R._span_prefix(c)
+    trow, ti, tj = R._token_spans(c, row_start)
+    grow, gi, gj = R._kgram_spans(row_start, lens, C.CHAR_SHINGLE_K, True)
+    ids = np.concatenate(
+        [R._span_hash(S, pw, ti, tj), R._span_hash(S, pw, gi, gj)]
+    )
+    weights: dict[int, int] = {}
+    for h in ids.tolist():
+        weights[h] = weights.get(h, 0) + 1
+    sig = 0
+    for bit in range(C.SIG_BITS):
+        vote = sum(w if (h >> bit) & 1 else -w for h, w in weights.items())
+        if vote > 0:
+            sig |= 1 << bit
+    want = sig - (1 << 64) if sig >= (1 << 63) else sig
+    assert int(R.simhash64_from_norm([norm])[0]) == want
+
+
 @given(st.lists(TEXT, min_size=0, max_size=6))
 def test_minhash_batch_matches_scalar(texts):
     """Same batch-position independence for the minhash kernel."""
