@@ -1,0 +1,293 @@
+#!/usr/bin/env python
+"""N-vs-4N EXECUTOR scaling bench on a real (local) standalone cluster.
+
+The literal north-rule deployment clause: the full checkpointed dedup
+pipeline, shipped with ``spark-submit --py-files src.zip`` (package
+imported FROM the zip — no repo on any sys.path), run against a Spark
+standalone cluster of separate JVM processes (bin/standalone.py):
+
+  leg "1":  1 worker -> 1 executor  x 2 cores / 6g
+  leg "4":  4 workers -> 4 executors x 2 cores / 6g each
+
+Per-executor resources are CONSTANT and the executor count scales — the
+N -> 4N cluster-size model — and every leg gets a fresh cluster, fresh
+driver JVM and fresh checkpoint dir. Legs run order-balanced (4,1,1,4 by
+default) so box drift cancels across the two pairs, same protocol as the
+local[N] campaigns in BENCH/BASELINE.md.
+
+Evidence captured per leg (driver REST API):
+  - the executor roster (proves 1 vs 4 separate executor JVMs, each with
+    its own heap + GC),
+  - per-executor shuffle read/write bytes (proves the shuffle crossed
+    JVM boundaries over Netty, not local-mode in-process handoff),
+  - stage-aggregate cpu/run/shuffle totals (the constant-work check),
+  - per-stage commit walls from the checkpoint MANIFESTs.
+
+Usage:
+  python bin/cluster_bench.py --rows 2000000 --shm           # campaign
+  python bin/cluster_bench.py --rows 50000 --legs 2,1 --smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from standalone import StandaloneCluster, build_src_zip, spark_submit_bin  # noqa: E402
+
+CHILD = r'''
+"""Cluster child: runs the checkpointed pipeline; package comes from the
+--py-files zip (this file lives OUTSIDE the repo when submitted)."""
+import argparse, glob, json, os, time, urllib.request
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--clips", required=True)
+ap.add_argument("--checkpoint", required=True)
+ap.add_argument("--master", required=True)
+ap.add_argument("--partitions", type=int, required=True)
+ap.add_argument("--n-executors", type=int, required=True)
+args = ap.parse_args()
+
+from simhash_spark.session import get_spark
+from simhash_spark.config import EngineConfig
+from simhash_spark.plans.pipeline import DedupPipeline
+
+spark = get_spark(
+    app=f"cluster-bench-{args.n_executors}x",
+    master=args.master,
+    shuffle_partitions=args.partitions,
+    extra={
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        "spark.ui.enabled": "true",  # REST evidence below
+    },
+)
+clips = spark.read.parquet(args.clips)
+t0 = time.time()
+pipe = DedupPipeline(spark, args.checkpoint,
+                     EngineConfig(partitions=args.partitions))
+clusters = pipe.run(clips)
+n = clusters.count()
+wall = time.time() - t0
+
+stage_walls = {}
+for m in glob.glob(os.path.join(args.checkpoint, "*", "MANIFEST.json")):
+    d = json.load(open(m))
+    stage_walls[os.path.basename(os.path.dirname(m))] = round(d.get("wall_sec", 0.0), 1)
+
+evidence = {}
+try:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    execs = json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/executors", timeout=10))
+    evidence["executors"] = [
+        {"id": e["id"], "host_port": e["hostPort"],
+         "shuffle_read": e.get("totalShuffleRead", 0),
+         "shuffle_write": e.get("totalShuffleWrite", 0),
+         "gc_ms": e.get("totalGCTime", 0),
+         "tasks": e.get("totalTasks", 0)}
+        for e in execs if e["id"] != "driver"
+    ]
+    stages = json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=10))
+    agg = {}
+    keys = {"executorRunTime": "run_ms", "executorCpuTime": "cpu_ns",
+            "shuffleWriteBytes": "shuf_w", "shuffleReadBytes": "shuf_r",
+            "inputBytes": "input", "memoryBytesSpilled": "spill_mem",
+            "diskBytesSpilled": "spill_disk"}
+    for s in stages:
+        for k, short in keys.items():
+            agg[short] = agg.get(short, 0) + int(s.get(k, 0) or 0)
+    if "cpu_ns" in agg:
+        agg["cpu_sec"] = round(agg.pop("cpu_ns") / 1e9, 1)
+    if "run_ms" in agg:
+        agg["run_sec"] = round(agg.pop("run_ms") / 1e3, 1)
+    evidence["stage_totals"] = agg
+except Exception as e:
+    evidence["error"] = str(e)[:200]
+
+print("RESULT " + json.dumps({
+    "n_executors": args.n_executors, "rows": n, "wall_sec": round(wall, 1),
+    "rows_per_sec": round(n / wall, 1), "stage_walls": stage_walls,
+    "evidence": evidence,
+}))
+'''
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
+def run_leg(
+    n_executors: int,
+    clips_path: str,
+    ckpt_base: str | None,
+    sp: int,
+    zpath: str,
+    child_path: str,
+    cores_per: int,
+    exec_mem: str,
+    timeout_s: int,
+) -> dict:
+    ckpt = tempfile.mkdtemp(prefix=f"cluster-ckpt-{n_executors}x-", dir=ckpt_base)
+    s0, t0 = _cpu_jiffies()
+    try:
+        with StandaloneCluster(
+            n_workers=n_executors, cores_per_worker=cores_per
+        ) as cl:
+            cmd = [
+                spark_submit_bin(),
+                "--master", cl.master_url,
+                "--driver-memory", "8g",
+                "--conf", f"spark.executor.cores={cores_per}",
+                "--conf", f"spark.executor.memory={exec_mem}",
+                "--conf", f"spark.cores.max={cores_per * n_executors}",
+                "--py-files", zpath,
+                child_path,
+                "--clips", clips_path,
+                "--checkpoint", ckpt,
+                "--master", cl.master_url,
+                "--partitions", str(sp),
+                "--n-executors", str(n_executors),
+            ]
+            out = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+                cwd=os.path.dirname(child_path),  # bare dir: no repo in cwd
+                env=cl.submit_env(),
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    s1, t1 = _cpu_jiffies()
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            r = json.loads(line[len("RESULT "):])
+            r["host_steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+            got = len(r.get("evidence", {}).get("executors", []))
+            if got != n_executors:
+                raise RuntimeError(
+                    f"leg asked for {n_executors} executors but the REST "
+                    f"roster shows {got} — not a valid cluster-size leg"
+                )
+            return r
+    raise RuntimeError(
+        f"cluster leg ({n_executors} executors) failed:\n{out.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument(
+        "--legs",
+        default="4,1,1,4",
+        help="executor counts in run order (order-balanced pairs by default)",
+    )
+    ap.add_argument("--cores-per-executor", type=int, default=2)
+    ap.add_argument("--executor-mem", default="6g")
+    ap.add_argument("--shm", action="store_true", help="corpus/ckpt/shuffle on tmpfs")
+    ap.add_argument("--timeout", type=int, default=7200)
+    ap.add_argument("--out", default=None, help="override BENCH output path")
+    args = ap.parse_args()
+
+    from simhash_spark.config import partitions_for_rows
+    from simhash_spark.sources.synth import write_clips_parquet
+
+    cache = "/tmp/simhash-bench-clips"
+    ckpt_base = None
+    if args.shm:
+        cache = "/dev/shm/simhash-bench-clips"
+        ckpt_base = "/dev/shm/simhash-bench-ckpt"
+        os.makedirs(ckpt_base, exist_ok=True)
+        local_dir = "/dev/shm/simhash-bench-local"
+        os.makedirs(local_dir, exist_ok=True)
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", local_dir)
+    corpus = os.path.join(cache, f"scaling-n{args.rows}-seed42")
+    clips_path = os.path.join(corpus, "clips.parquet")
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        disk = os.path.join("/tmp/simhash-bench-clips", f"scaling-n{args.rows}-seed42")
+        if args.shm and os.path.exists(os.path.join(disk, "_DONE")):
+            shutil.copytree(disk, corpus, dirs_exist_ok=True)
+        else:
+            print(f"synthesizing {args.rows} clips ...", file=sys.stderr)
+            write_clips_parquet(corpus, args.rows, seed=42, dur_ms_range=(100, 200))
+            open(os.path.join(corpus, "_DONE"), "w").close()
+
+    sp = partitions_for_rows(args.rows, floor=8)
+    stage_dir = tempfile.mkdtemp(prefix="cluster-submit-")
+    zpath = os.path.join(stage_dir, "src.zip")
+    build_src_zip(zpath)
+    child_path = os.path.join(stage_dir, "cluster_child.py")
+    with open(child_path, "w") as f:
+        f.write(CHILD)
+
+    legs = [int(x) for x in args.legs.split(",")]
+    results: list[dict] = []
+    for n_ex in legs:
+        print(
+            f"leg: {n_ex} executor(s) x {args.cores_per_executor} cores ...",
+            file=sys.stderr,
+        )
+        r = run_leg(
+            n_ex, clips_path, ckpt_base, sp, zpath, child_path,
+            args.cores_per_executor, args.executor_mem, args.timeout,
+        )
+        print(f"  {json.dumps(r)[:400]}", file=sys.stderr)
+        results.append(r)
+
+    # adjacent-pair efficiencies: (wall_small / wall_big) / (ex_big / ex_small)
+    pairs = []
+    for i in range(0, len(results) - 1, 2):
+        a, b = results[i], results[i + 1]
+        small, big = (a, b) if a["n_executors"] < b["n_executors"] else (b, a)
+        ratio = big["n_executors"] / small["n_executors"]
+        eff = (small["wall_sec"] / big["wall_sec"]) / ratio
+        pairs.append(
+            {
+                "order": f"{a['n_executors']}-first",
+                "t_small": small["wall_sec"],
+                "t_big": big["wall_sec"],
+                "executor_ratio": ratio,
+                "efficiency": round(eff, 3),
+            }
+        )
+    report = {
+        "mode": "standalone-cluster",
+        "rows": args.rows,
+        "cores_per_executor": args.cores_per_executor,
+        "executor_mem": args.executor_mem,
+        "partitions": sp,
+        "storage": "tmpfs" if args.shm else "single-disk",
+        "legs": results,
+        "pairs": pairs,
+        "mean_efficiency": round(
+            sum(p["efficiency"] for p in pairs) / max(len(pairs), 1), 3
+        ),
+        "target": 0.8,
+        "ts": time.time(),
+    }
+    suffix = "-shm" if args.shm else ""
+    out = args.out or os.path.join(
+        REPO, "BENCH", f"cluster-scaling-n{args.rows}{suffix}.json"
+    )
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
