@@ -168,6 +168,10 @@ class StandaloneCluster:
             time.sleep(1.0)
         raise TimeoutError(f"standalone cluster: timed out waiting for {what}: {last}")
 
+    def kill_worker(self, i: int = 0) -> None:
+        """SIGKILL worker i (procs[0] is the master) — executor-loss drills."""
+        self.procs[1 + i].kill()
+
     def __exit__(self, *exc) -> None:
         for p in reversed(self.procs):  # workers first, master last
             p.terminate()

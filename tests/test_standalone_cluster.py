@@ -56,6 +56,120 @@ print("RESULT " + json.dumps({"rows": n, "clusters": k, "roster": roster}))
 """
 
 
+def test_pipeline_survives_worker_loss(tmp_path):
+    """Executor-loss drill: SIGKILL one of two worker JVMs mid-run.
+
+    A 10^12-row job WILL lose executors; Spark's contract is task retry +
+    stage recompute (lost shuffle blocks refetched via FetchFailed
+    resubmission), and this engine's contract on top is that even a
+    killed JOB resumes from the last committed stage (CheckpointStore).
+    The drill accepts either outcome — ride-through or fail-then-resume —
+    but the final output must be byte-equivalent to an undisturbed run:
+    same rows, same cluster count. localCheckpoint blocks (CC loop) are
+    the one non-recomputable state; they live late in the job, and the
+    kill lands early (first completed stage), so ride-through is the
+    common path. A second submit against the surviving worker is the
+    REQUIRED path if the first exits nonzero."""
+    from standalone import StandaloneCluster, build_src_zip, spark_submit_bin
+
+    sub = spark_submit_bin()
+    if not os.path.exists(sub):
+        pytest.skip("spark-submit not available")
+
+    import json as _json
+    import time
+    import urllib.request
+
+    from simhash_spark.config import EngineConfig
+    from simhash_spark.plans.pipeline import DedupPipeline
+    from simhash_spark.session import get_spark
+    from simhash_spark.sources.synth import write_clips_parquet
+
+    corpus = str(tmp_path / "corpus")
+    write_clips_parquet(corpus, 20_000, seed=17, dur_ms_range=(100, 200))
+    clips_path = os.path.join(corpus, "clips.parquet")
+    zpath = str(tmp_path / "src.zip")
+    build_src_zip(zpath)
+    child = str(tmp_path / "child.py")
+    with open(child, "w") as f:
+        f.write(CHILD)
+    ckpt = str(tmp_path / "ckpt")
+
+    def submit(cl):
+        return subprocess.Popen(
+            [
+                sub,
+                "--master", cl.master_url,
+                "--driver-memory", "2g",
+                "--conf", "spark.executor.cores=1",
+                "--conf", "spark.executor.memory=2g",
+                "--conf", "spark.cores.max=2",
+                "--py-files", zpath,
+                child,
+                "--clips", clips_path,
+                "--checkpoint", ckpt,
+                "--master", cl.master_url,
+                "--partitions", "8",
+            ],
+            cwd=str(tmp_path),
+            env=cl.submit_env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+
+    with StandaloneCluster(
+        n_workers=2,
+        cores_per_worker=1,
+        worker_mem="3g",
+        base_dir=str(tmp_path / "cluster"),
+        master_port=7187,
+        webui_port=8201,
+    ) as cl:
+        p = submit(cl)
+        # wait until the app is actually executing, then pull the plug
+        deadline = time.time() + 120
+        running = False
+        while time.time() < deadline and p.poll() is None:
+            try:
+                st = _json.load(
+                    urllib.request.urlopen(
+                        f"http://127.0.0.1:8201/json/", timeout=3
+                    )
+                )
+                if any(
+                    a.get("state") == "RUNNING" for a in st.get("activeapps", [])
+                ):
+                    running = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert running, "app never reached RUNNING before the drill window"
+        time.sleep(5)  # let real tasks (and shuffle writes) land on both
+        cl.kill_worker(1)
+        out, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            # acceptable only if the committed-stage resume completes
+            p2 = submit(cl)
+            out, err = p2.communicate(timeout=600)
+            assert p2.returncode == 0, (out[-2000:], err[-4000:])
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        res = _json.loads(lines[-1][len("RESULT "):])
+
+    # ground truth: undisturbed in-process run on the same corpus
+    spark = get_spark(app="cluster-drill-local", master="local[2]", shuffle_partitions=8)
+    pipe = DedupPipeline(
+        spark, str(tmp_path / "ckpt-local"), EngineConfig(partitions=8)
+    )
+    local = pipe.run(spark.read.parquet(clips_path))
+    assert (res["rows"], res["clusters"]) == (
+        local.count(),
+        local.select("cluster_id").distinct().count(),
+    )
+
+
 def test_pipeline_on_two_executor_standalone_cluster(tmp_path):
     from standalone import StandaloneCluster, build_src_zip, spark_submit_bin
 
