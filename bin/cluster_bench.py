@@ -113,6 +113,26 @@ try:
     if "run_ms" in agg:
         agg["run_sec"] = round(agg.pop("run_ms") / 1e3, 1)
     evidence["stage_totals"] = agg
+    # per-stage decomposition: where does cluster-mode CPU go vs local?
+    per = []
+    for s in stages:
+        g = lambda k: int(s.get(k, 0) or 0)
+        per.append({
+            "id": s.get("stageId"),
+            "name": (s.get("name") or "").split(" at ")[-1][:48],
+            "tasks": s.get("numCompleteTasks", 0),
+            "run_s": round(g("executorRunTime") / 1e3, 1),
+            "cpu_s": round(g("executorCpuTime") / 1e9, 1),
+            "gc_s": round(g("jvmGcTime") / 1e3, 1),
+            "deser_s": round(g("executorDeserializeTime") / 1e3, 1),
+            "fetch_wait_s": round(g("shuffleFetchWaitTime") / 1e3, 1),
+            "shuf_write_s": round(g("shuffleWriteTime") / 1e9, 1),
+            "shuf_r_mb": g("shuffleReadBytes") // (1 << 20),
+            "shuf_w_mb": g("shuffleWriteBytes") // (1 << 20),
+            "input_mb": g("inputBytes") // (1 << 20),
+        })
+    per.sort(key=lambda x: -x["run_s"])
+    evidence["stages_top"] = per[:18]
 except Exception as e:
     evidence["error"] = str(e)[:200]
 
@@ -130,7 +150,7 @@ def _cpu_jiffies() -> tuple[int, int]:
 
 
 def run_leg(
-    n_executors: int,
+    leg: str,
     clips_path: str,
     ckpt_base: str | None,
     sp: int,
@@ -140,51 +160,84 @@ def run_leg(
     exec_mem: str,
     timeout_s: int,
 ) -> dict:
-    ckpt = tempfile.mkdtemp(prefix=f"cluster-ckpt-{n_executors}x-", dir=ckpt_base)
+    """Run one leg. ``leg`` is an executor count ("4") or "L<cores>" for a
+    local[N] control leg submitted through the SAME spark-submit + child
+    code path (only the master differs) — the apples-to-apples local-mode
+    comparator for cluster-path overhead."""
+    local_cores = int(leg[1:]) if leg.startswith("L") else None
+    n_executors = 0 if local_cores is not None else int(leg)
+    ckpt = tempfile.mkdtemp(prefix=f"cluster-ckpt-{leg}x-", dir=ckpt_base)
     s0, t0 = _cpu_jiffies()
     try:
-        with StandaloneCluster(
-            n_workers=n_executors, cores_per_worker=cores_per
-        ) as cl:
+        if local_cores is not None:
+            master = f"local[{local_cores}]"
             cmd = [
                 spark_submit_bin(),
-                "--master", cl.master_url,
-                "--driver-memory", "8g",
-                "--conf", f"spark.executor.cores={cores_per}",
-                "--conf", f"spark.executor.memory={exec_mem}",
-                "--conf", f"spark.cores.max={cores_per * n_executors}",
+                "--master", master,
+                # one JVM hosts driver+executors: give it the cluster
+                # legs' AGGREGATE heap (4 x 6g) like the local[N] series
+                "--driver-memory", "24g",
                 "--py-files", zpath,
                 child_path,
                 "--clips", clips_path,
                 "--checkpoint", ckpt,
-                "--master", cl.master_url,
+                "--master", master,
                 "--partitions", str(sp),
-                "--n-executors", str(n_executors),
+                "--n-executors", "0",
             ]
+            env = dict(os.environ)
+            env.pop("PYTHONPATH", None)
+            env["PYTHONDONTWRITEBYTECODE"] = "1"
+            env["PYSPARK_PYTHON"] = sys.executable
+            env["PYSPARK_DRIVER_PYTHON"] = sys.executable
             out = subprocess.run(
-                cmd,
-                capture_output=True,
-                text=True,
-                timeout=timeout_s,
-                cwd=os.path.dirname(child_path),  # bare dir: no repo in cwd
-                env=cl.submit_env(),
+                cmd, capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(child_path), env=env,
             )
+        else:
+            with StandaloneCluster(
+                n_workers=n_executors, cores_per_worker=cores_per
+            ) as cl:
+                cmd = [
+                    spark_submit_bin(),
+                    "--master", cl.master_url,
+                    "--driver-memory", "8g",
+                    "--conf", f"spark.executor.cores={cores_per}",
+                    "--conf", f"spark.executor.memory={exec_mem}",
+                    "--conf", f"spark.cores.max={cores_per * n_executors}",
+                    "--py-files", zpath,
+                    child_path,
+                    "--clips", clips_path,
+                    "--checkpoint", ckpt,
+                    "--master", cl.master_url,
+                    "--partitions", str(sp),
+                    "--n-executors", str(n_executors),
+                ]
+                out = subprocess.run(
+                    cmd,
+                    capture_output=True,
+                    text=True,
+                    timeout=timeout_s,
+                    cwd=os.path.dirname(child_path),  # bare dir: no repo in cwd
+                    env=cl.submit_env(),
+                )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     s1, t1 = _cpu_jiffies()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
+            r["leg"] = leg
             r["host_steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
             got = len(r.get("evidence", {}).get("executors", []))
-            if got != n_executors:
+            if local_cores is None and got != n_executors:
                 raise RuntimeError(
                     f"leg asked for {n_executors} executors but the REST "
                     f"roster shows {got} — not a valid cluster-size leg"
                 )
             return r
     raise RuntimeError(
-        f"cluster leg ({n_executors} executors) failed:\n{out.stderr[-3000:]}"
+        f"leg {leg} failed:\n{out.stderr[-3000:]}"
     )
 
 
@@ -234,24 +287,28 @@ def main() -> None:
     with open(child_path, "w") as f:
         f.write(CHILD)
 
-    legs = [int(x) for x in args.legs.split(",")]
+    legs = [x.strip() for x in args.legs.split(",")]
     results: list[dict] = []
-    for n_ex in legs:
-        print(
-            f"leg: {n_ex} executor(s) x {args.cores_per_executor} cores ...",
-            file=sys.stderr,
+    for leg in legs:
+        what = (
+            f"local[{leg[1:]}] control"
+            if leg.startswith("L")
+            else f"{leg} executor(s) x {args.cores_per_executor} cores"
         )
+        print(f"leg: {what} ...", file=sys.stderr)
         r = run_leg(
-            n_ex, clips_path, ckpt_base, sp, zpath, child_path,
+            leg, clips_path, ckpt_base, sp, zpath, child_path,
             args.cores_per_executor, args.executor_mem, args.timeout,
         )
         print(f"  {json.dumps(r)[:400]}", file=sys.stderr)
         results.append(r)
 
     # adjacent-pair efficiencies: (wall_small / wall_big) / (ex_big / ex_small)
+    # (cluster-executor legs only; local control legs are diagnostics)
     pairs = []
-    for i in range(0, len(results) - 1, 2):
-        a, b = results[i], results[i + 1]
+    cluster_results = [r for r in results if r["n_executors"] > 0]
+    for i in range(0, len(cluster_results) - 1, 2):
+        a, b = cluster_results[i], cluster_results[i + 1]
         small, big = (a, b) if a["n_executors"] < b["n_executors"] else (b, a)
         ratio = big["n_executors"] / small["n_executors"]
         eff = (small["wall_sec"] / big["wall_sec"]) / ratio
