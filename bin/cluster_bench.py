@@ -254,6 +254,15 @@ def main() -> None:
     ap.add_argument("--shm", action="store_true", help="corpus/ckpt/shuffle on tmpfs")
     ap.add_argument("--timeout", type=int, default=7200)
     ap.add_argument("--out", default=None, help="override BENCH output path")
+    ap.add_argument(
+        "--corpus",
+        default=None,
+        help="use this corpus dir (containing clips.parquet) as-is, "
+        "regardless of --shm. The dedup pipeline column-prunes the audio "
+        "bytes (the corpus scan reads only the transcript column — ~80 MB "
+        "at 2M rows), so a disk-resident corpus does not gate scaling legs "
+        "and frees tmpfs RAM for shuffle + checkpoints at large sizes.",
+    )
     args = ap.parse_args()
 
     from simhash_spark.config import partitions_for_rows
@@ -268,9 +277,12 @@ def main() -> None:
         local_dir = "/dev/shm/simhash-bench-local"
         os.makedirs(local_dir, exist_ok=True)
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", local_dir)
-    corpus = os.path.join(cache, f"scaling-n{args.rows}-seed42")
+    corpus = args.corpus or os.path.join(cache, f"scaling-n{args.rows}-seed42")
     clips_path = os.path.join(corpus, "clips.parquet")
-    if not os.path.exists(os.path.join(corpus, "_DONE")):
+    if args.corpus is not None:
+        if not os.path.exists(clips_path):
+            raise SystemExit(f"--corpus {args.corpus}: no clips.parquet inside")
+    elif not os.path.exists(os.path.join(corpus, "_DONE")):
         disk = os.path.join("/tmp/simhash-bench-clips", f"scaling-n{args.rows}-seed42")
         if args.shm and os.path.exists(os.path.join(disk, "_DONE")):
             shutil.copytree(disk, corpus, dirs_exist_ok=True)
