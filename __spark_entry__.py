@@ -963,7 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_pairs": q_audio_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
-        # Spark-only (rows-only check — ML training loop, no oracle):
+        # oracle-checked: DuckDB re-derives per-iter accuracy from the
+        # side-parquet weight snapshots (oracle_sql below)
         "classifier_train_eval": q_classifier_train_eval,
     }
 

@@ -159,6 +159,7 @@ def run_leg(
     cores_per: int,
     exec_mem: str,
     timeout_s: int,
+    control_mem: str = "24g",
 ) -> dict:
     """Run one leg. ``leg`` is an executor count ("4") or "L<cores>" for a
     local[N] control leg submitted through the SAME spark-submit + child
@@ -175,8 +176,9 @@ def run_leg(
                 spark_submit_bin(),
                 "--master", master,
                 # one JVM hosts driver+executors: give it the cluster
-                # legs' AGGREGATE heap (4 x 6g) like the local[N] series
-                "--driver-memory", "24g",
+                # legs' AGGREGATE heap (max executors x exec mem, computed
+                # in main from the leg list) like the local[N] series
+                "--driver-memory", control_mem,
                 "--py-files", zpath,
                 child_path,
                 "--clips", clips_path,
@@ -224,6 +226,13 @@ def run_leg(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     s1, t1 = _cpu_jiffies()
+    if out.returncode != 0:
+        # a RESULT line may have printed before a teardown failure; a
+        # nonzero exit is never a valid measurement (ADVICE r4)
+        raise RuntimeError(
+            f"leg {leg}: spark-submit exited {out.returncode}:\n"
+            f"{out.stderr[-3000:]}"
+        )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
@@ -300,6 +309,15 @@ def main() -> None:
         f.write(CHILD)
 
     legs = [x.strip() for x in args.legs.split(",")]
+    # control legs are aggregate-matched to the LARGEST cluster leg in
+    # this run (not a hardcoded 4x6g — ADVICE r4)
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)([gm])", args.executor_mem.lower())
+    if not m:
+        raise SystemExit(f"--executor-mem {args.executor_mem!r}: expected e.g. 6g")
+    max_exec = max((int(x) for x in legs if not x.startswith("L")), default=0)
+    control_mem = f"{max(1, int(m.group(1)) * max_exec)}{m.group(2)}"
     results: list[dict] = []
     for leg in legs:
         what = (
@@ -311,6 +329,7 @@ def main() -> None:
         r = run_leg(
             leg, clips_path, ckpt_base, sp, zpath, child_path,
             args.cores_per_executor, args.executor_mem, args.timeout,
+            control_mem=control_mem,
         )
         print(f"  {json.dumps(r)[:400]}", file=sys.stderr)
         results.append(r)
@@ -319,6 +338,14 @@ def main() -> None:
     # (cluster-executor legs only; local control legs are diagnostics)
     pairs = []
     cluster_results = [r for r in results if r["n_executors"] > 0]
+    if len(cluster_results) % 2:
+        # never silently drop a measured leg from the mean (ADVICE r4)
+        print(
+            f"WARNING: odd number of cluster legs ({len(cluster_results)}) — "
+            f"trailing leg {cluster_results[-1]['leg']!r} is excluded from "
+            "pairwise efficiencies",
+            file=sys.stderr,
+        )
     for i in range(0, len(cluster_results) - 1, 2):
         a, b = cluster_results[i], cluster_results[i + 1]
         small, big = (a, b) if a["n_executors"] < b["n_executors"] else (b, a)

@@ -40,6 +40,16 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _free_port() -> int:
+    """OS-assigned free TCP port (closed immediately; tiny race window is
+    acceptable for a single-box bench harness)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def spark_dist() -> str:
     import pyspark
 
@@ -73,16 +83,20 @@ class StandaloneCluster:
         cores_per_worker: int = 2,
         worker_mem: str = "7g",
         base_dir: str | None = None,
-        master_port: int = 7077,
-        webui_port: int = 8091,
+        master_port: int | None = None,
+        webui_port: int | None = None,
     ) -> None:
         self.n_workers = n_workers
         self.cores_per_worker = cores_per_worker
         self.worker_mem = worker_mem
-        self.master_port = master_port
-        self.webui_port = webui_port
+        # default to OS-assigned free ports so a concurrent bench or a
+        # pre-existing Spark master on 7077 can't collide with (or be
+        # mistaken for) this cluster's REST endpoint (ADVICE r4).
+        self.master_port = master_port or _free_port()
+        self.webui_port = webui_port or _free_port()
         self.base_dir = base_dir or f"/tmp/simhash-standalone-{os.getpid()}"
         self.procs: list[subprocess.Popen] = []
+        self._logs: list = []
 
     @property
     def master_url(self) -> str:
@@ -99,6 +113,7 @@ class StandaloneCluster:
     def _launch(self, name: str, cls: str, args: list[str]) -> subprocess.Popen:
         jars = os.path.join(spark_dist(), "jars", "*")
         log = open(os.path.join(self.base_dir, f"{name}.log"), "w")
+        self._logs.append(log)
         java = os.path.join(os.environ.get("JAVA_HOME", "/usr"), "bin", "java")
         p = subprocess.Popen(
             [java, "-Xmx1g", "-cp", jars, cls, *args],
@@ -136,8 +151,8 @@ class StandaloneCluster:
                 "org.apache.spark.deploy.worker.Worker",
                 [
                     "--host", "127.0.0.1",
-                    "--port", str(self.master_port + 101 + i),
-                    "--webui-port", str(self.webui_port + 101 + i),
+                    "--port", str(_free_port()),
+                    "--webui-port", str(_free_port()),
                     "--cores", str(self.cores_per_worker),
                     "--memory", self.worker_mem,
                     "--work-dir", wd,
@@ -182,6 +197,12 @@ class StandaloneCluster:
             except subprocess.TimeoutExpired:
                 p.kill()
         self.procs.clear()
+        for log in self._logs:  # flush + release after the procs are reaped
+            try:
+                log.close()
+            except Exception:
+                pass
+        self._logs.clear()
 
     def submit_env(self) -> dict:
         """Env for spark-submit: cluster-node view (no repo on sys.path)."""
