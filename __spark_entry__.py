@@ -221,7 +221,16 @@ def q_jaccard_neardup_pairs(spark, sf_dir):
     O(n^2) DuckDB oracle validates the result set verbatim."""
     d = _t(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens(_norm(F.col("text"))))
-    base = d.select("doc_id", "lang", toks.alias("toks")).filter(F.size("toks") > 0)
+    # repartition BEFORE tokenizing: locally the scan is 1-2 file splits
+    # and the regexp tokenization is this query's CPU floor — it would
+    # otherwise run (repeatedly, once per branch) at scan parallelism
+    # (measured 2 tasks x ~20 s at sf0.1).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        d.repartition(n_part)
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
     # canonical order = global document-frequency ASCENDING (rarest first):
     # the prefix theorem holds for ANY fixed total order, but rare-token
     # prefixes make the candidate join selective.
@@ -290,7 +299,13 @@ def q_substring_pairs(spark, sf_dir):
         F.col("nt").alias("na"),
         F.substring("nt", 1, 16).alias("gram"),
     )
-    b = base.select(
+    # explicit repartition: the documents scan is a single small file
+    # locally (1-2 splits), and the explode + contains() below is the
+    # query's CPU floor — without this the whole CPU-dense stage runs at
+    # the scan's parallelism (measured 2 tasks x ~19 s at sf0.1; at
+    # cluster scale many file splits make this a no-op cost-wise).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = base.repartition(n_part).select(
         F.col("doc_id").alias("b"),
         F.col("nt").alias("nb"),
         F.explode(

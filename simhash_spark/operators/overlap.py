@@ -139,6 +139,17 @@ def overlap_span_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("gram_hits"))
+        # EXPLICIT round-robin repartition before the Python confirm: the
+        # pair frame is tiny in BYTES (~40 B/row), so AQE's byte-based
+        # coalescing folds the post-agg exchange down to a handful of
+        # partitions — and the suffix-array UDF's cost (invisible to byte
+        # sizing) then runs at that parallelism (measured: 5 tasks,
+        # ~79 s/task at sf0.1 vs ~20 s total at full width). Must be
+        # round-robin, NOT repartition(n, "a", "b"): a hash repartition
+        # on the groupBy keys is optimizer-removed as redundant and the
+        # coalesce re-appears. A numbered user repartition is exempt from
+        # AQE coalescing; the extra shuffle is ~MBs.
+        .repartition(n_part)
     )
 
     texts = eligible.select(F.col("id"), F.col("norm_text"))

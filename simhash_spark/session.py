@@ -72,6 +72,19 @@ def get_spark(
     b = b.config(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{int(adv_mb)}m"
     )
+    # AQE coalescing floor: Spark's 1m default lets a BYTE-tiny but
+    # CPU-dense exchange (candidate pairs at ~40 B/row feeding a pandas
+    # UDF or a codegen'd contains()) coalesce to 1-5 tasks — the
+    # parallelismFirst target is max(total/defaultParallelism,
+    # minPartitionSize), so a 2 MB exchange can never spread past 2
+    # tasks at the 1m floor regardless of its compute cost (measured:
+    # the suffix-array confirm at sf0.1 ran 5 tasks x 79 s instead of
+    # 32 x ~0.6 s). 64k keeps such stages at full width; at real data
+    # sizes total/parallelism dominates and the floor is inert.
+    min_psize = os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")
+    b = b.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_psize
+    )
     # Shuffle/spill/broadcast IO codec (spark.io.compression.codec).
     # Unset -> Spark's own default (lz4). zstd compresses the shuffle
     # ~30-40% smaller for more CPU — a candidate win on memory-
