@@ -49,6 +49,8 @@ HEADLINE = [
     "cosine_neardup_pairs",
     "srp_ann_topk",
     "ivf_ann_topk",
+    "overlap_span_pairs",
+    "audio_dup_pairs",
     "doc_dup_clusters",
 ]
 

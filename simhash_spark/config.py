@@ -90,6 +90,16 @@ import os as _os
 
 MINHASH_SCHEME = _os.environ.get("SPARK_GRAFT_MINHASH_SCHEME", "oph-densified")
 
+#: Bands-stage kernel SHAPE (values bit-identical either way — an
+#: EXECUTION knob, not semantics; pytest-pinned parity):
+#:   "arrow"  — mapInArrow emits pre-exploded (id, bkey) rows straight
+#:              from the kernel's flat (values, counts) output: no
+#:              pandas Series-of-lists, no Arrow LargeList assembly, no
+#:              JVM explode (VERDICT r4 #5).
+#:   "pandas" — ArrayType pandas UDF + JVM explode (the r4 shape).
+#: Env-selectable for subprocess A/B legs like MINHASH_SCHEME.
+BANDS_KERNEL = _os.environ.get("SPARK_GRAFT_BANDS_KERNEL", "arrow")
+
 #: Storage level for candidate_pairs' persisted annotated-band table —
 #: an EXECUTION knob (pair multiset identical across modes, pytest-
 #: pinned), env-selectable for subprocess A/B legs like MINHASH_SCHEME:

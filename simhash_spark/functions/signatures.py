@@ -81,6 +81,44 @@ def mh_gram_bkeys_udf(norm: pd.Series) -> pd.Series:
     return pd.Series(R.mh_gram_bkeys_batch(norm.fillna("").tolist()))
 
 
+def mh_gram_bkeys_exploded(
+    df, id_col: str = "cid", text_col: str = "norm_text"
+):
+    """FUSED minhash-band + gram detector as a ``mapInArrow`` operator:
+    (id, norm_text) -> PRE-EXPLODED (id, bkey) rows.
+
+    vs the pandas-UDF + JVM explode shape (mh_gram_bkeys_udf): the
+    kernel's flat (values, counts) output becomes the Arrow column
+    DIRECTLY — no pandas Series-of-lists materialization (one Python
+    list + ndarray per row), no Arrow LargeList assembly, no JVM
+    generate/explode; ids replicate via one Arrow take. Values are
+    bit-identical (same reference.mh_gram_bkeys kernel; pytest-pinned
+    against the list form)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("bkey", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            flat, counts = R.mh_gram_bkeys_flat_batch(
+                [t if t is not None else "" for t in texts]
+            )
+            idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            ids = batch.column(0).take(pa.array(idx, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(flat, pa.int64())], names=[id_col, "bkey"]
+            )
+
+    return df.select(id_col, text_col).mapInArrow(gen, out_schema)
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def substring_grams_udf(norm: pd.Series) -> pd.Series:
     """Content-sampled gram ids for the substring detector's inverted

@@ -144,11 +144,24 @@ def build_bands(
         # PRE-PACKED bkeys for both detectors; the kernel shares a single
         # flatten/prefix pass (reference.mh_gram_bkeys_batch) and the
         # packing layout is pytest-pinned against _pack_bkey.
-        parts.append(
-            normalized.select(
-                id_col, F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
+        # Default shape is mapInArrow emitting PRE-EXPLODED (id, bkey)
+        # rows straight from the kernel's flat output — no pandas
+        # Series-of-lists, no Arrow LargeList, no JVM explode (VERDICT
+        # r4 #5; values bit-identical, pytest-pinned; interleaved A/B at
+        # 2M/T8, BENCH/ab-bands-kernel-t8-n2000000.json: bands commit
+        # 31.5 -> 28.4 s, -10%, pipeline -1.6%, both legs consistent).
+        # The pandas-UDF + explode form stays env-selectable for A/B
+        # replays.
+        if C.BANDS_KERNEL == "arrow":
+            from simhash_spark.functions.signatures import mh_gram_bkeys_exploded
+
+            parts.append(mh_gram_bkeys_exploded(normalized, id_col=id_col))
+        else:
+            parts.append(
+                normalized.select(
+                    id_col, F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
+                )
             )
-        )
     elif "minhash" in detectors:
         mh = normalized.select(
             id_col,

@@ -672,7 +672,30 @@ def mh_gram_bkeys_batch(norms: Sequence[str]) -> list[np.ndarray]:
     return out
 
 
+def mh_gram_bkeys_flat_batch(norms: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """FLAT layout of mh_gram_bkeys_batch: (values, per_row_counts) with
+    ``values`` the rows' key arrays concatenated in row order (same
+    per-row key order as the list form — np.split on cumsum(counts)
+    reproduces it exactly; pytest-pinned). This is the mapInArrow bands
+    kernel's shape: the flat int64 array becomes an Arrow column with
+    zero per-row Python/pandas materialization (VERDICT r4 #5)."""
+    flats: list[np.ndarray] = []
+    counts: list[np.ndarray] = []
+    for r0, r1 in _chunk_bounds(norms):
+        f, c = _mh_gram_bkeys_chunk_flat(norms[r0:r1])
+        flats.append(f)
+        counts.append(c)
+    if not flats:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(flats), np.concatenate(counts)
+
+
 def _mh_gram_bkeys_chunk(norms: Sequence[str]) -> list[np.ndarray]:
+    flat, counts = _mh_gram_bkeys_chunk_flat(norms)
+    return np.split(flat, np.cumsum(counts)[:-1])
+
+
+def _mh_gram_bkeys_chunk_flat(norms: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     n = len(norms)
     c, row_start, lens = _flatten_norms(norms)
     S, pw = _span_prefix(c)
@@ -707,7 +730,6 @@ def _mh_gram_bkeys_chunk(norms: Sequence[str]) -> list[np.ndarray]:
 
     # gram leg — _substring_grams_chunk steps on the same prefix arrays.
     grow, gi, gj = _kgram_spans(row_start, lens, C.GRAM_K, False)
-    gram_rows: list[np.ndarray]
     if len(gi):
         gids = _span_hash(S, pw, gi, gj)
         gkeep = gids % np.uint64(C.GRAM_STRIDE) == 0
@@ -718,12 +740,30 @@ def _mh_gram_bkeys_chunk(norms: Sequence[str]) -> list[np.ndarray]:
         guniq[1:] = (grs[1:] != grs[:-1]) | (gvs[1:] != gvs[:-1])
         grs, gvs = grs[guniq], gvs[guniq]
         gkeys = (_BKEY_DET_GRAM | (gvs & _BKEY_HASH_MASK)).astype(np.int64)
-        counts = np.bincount(grs, minlength=n)
-        gram_rows = np.split(gkeys, np.cumsum(counts)[:-1])
+        gram_counts = np.bincount(grs, minlength=n).astype(np.int64)
     else:
-        gram_rows = [np.empty(0, dtype=np.int64)] * n
+        grs = np.empty(0, dtype=np.int64)
+        gkeys = np.empty(0, dtype=np.int64)
+        gram_counts = np.zeros(n, dtype=np.int64)
 
-    return [np.concatenate([mh_keys[r], gram_rows[r]]) for r in range(n)]
+    # flat assembly, no per-row Python: row r's slice is its BANDS mh
+    # keys followed by its (row-sorted) gram keys — identical order to
+    # the old per-row concatenate.
+    B = C.BANDS
+    counts = gram_counts + B
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    out = np.empty(int(starts[-1]), dtype=np.int64)
+    mh_pos = starts[:-1, None] + np.arange(B, dtype=np.int64)[None, :]
+    out[mh_pos.ravel()] = mh_keys.ravel()
+    if len(gkeys):
+        gstarts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(gram_counts, out=gstarts[1:])
+        gpos = (starts[:-1] + B)[grs] + (
+            np.arange(len(gkeys), dtype=np.int64) - gstarts[:-1][grs]
+        )
+        out[gpos] = gkeys
+    return out, counts
 
 
 _BLOCK_OFFSETS = tuple(

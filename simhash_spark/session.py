@@ -80,7 +80,10 @@ def get_spark(
     # tasks at the 1m floor regardless of its compute cost (measured:
     # the suffix-array confirm at sf0.1 ran 5 tasks x 79 s instead of
     # 32 x ~0.6 s). 64k keeps such stages at full width; at real data
-    # sizes total/parallelism dominates and the floor is inert.
+    # sizes total/parallelism dominates and the floor is inert —
+    # interleaved A/B on the full 2M pipeline at T8 measured 64k vs 1m
+    # a wash (169.0 vs 171.1 s mean, BENCH/ab-min-psize-t8-n2000000
+    # .json), while the byte-tiny gate queries improved up to 6x.
     min_psize = os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")
     b = b.config(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_psize

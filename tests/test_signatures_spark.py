@@ -165,3 +165,52 @@ def test_fused_mh_gram_bkeys_match_jvm_packing(spark):
     ).select("clip_id", _pack_bkey(3, 0, F.col("band_hash")).alias("bkey"))
     want = {(r.clip_id, r.bkey) for r in mh.unionByName(gr).collect()}
     assert fused == want
+
+
+def test_arrow_bands_kernel_matches_pandas_kernel(spark):
+    """BANDS_KERNEL='arrow' (mapInArrow, flat pre-exploded output) and
+    'pandas' (ArrayType UDF + JVM explode) must produce the identical
+    (id, bkey) multiset — the flat kernel is an execution shape, not a
+    semantics change. Covers string AND cid id columns, empty/None/long
+    rows."""
+    from simhash_spark.functions.signatures import (
+        mh_gram_bkeys_exploded,
+        mh_gram_bkeys_udf,
+    )
+
+    texts = _texts() + ["", "ab", "x" * 70, None]
+    base = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "clip_id string, text string"
+    ).select("clip_id", normalize_udf("text").alias("norm_text"))
+    for df, id_col in [
+        (base, "clip_id"),
+        (base.select(F.xxhash64("clip_id").alias("cid"), "norm_text"), "cid"),
+    ]:
+        arrow = sorted(
+            map(tuple, mh_gram_bkeys_exploded(df, id_col=id_col).collect())
+        )
+        pandas = sorted(
+            map(
+                tuple,
+                df.select(
+                    id_col, F.explode(mh_gram_bkeys_udf("norm_text")).alias("bkey")
+                ).collect(),
+            )
+        )
+        assert arrow == pandas
+
+
+def test_flat_bands_kernel_matches_list_form():
+    """reference.mh_gram_bkeys_flat_batch == np.split of the list form,
+    row order and per-row key order included."""
+    import numpy as np
+
+    from simhash_spark import reference as R
+
+    norms = [R.normalize_text(t) for t in _texts()] + ["", "a", "hello hello"]
+    flat, counts = R.mh_gram_bkeys_flat_batch(norms)
+    rebuilt = np.split(flat, np.cumsum(counts)[:-1])
+    want = R.mh_gram_bkeys_batch(norms)
+    assert len(rebuilt) == len(want)
+    for a, b in zip(rebuilt, want):
+        assert np.array_equal(a, b)

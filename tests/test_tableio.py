@@ -6,6 +6,8 @@ import pytest
 
 from simhash_spark.sources.tableio import CheckpointStore
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture
 def store(spark, tmp_path):
@@ -85,3 +87,71 @@ def test_stage_gc_gating(monkeypatch):
     assert not stage_gc_enabled("local[8]")
     monkeypatch.setenv("SPARK_GRAFT_STAGE_GC", "1")
     assert stage_gc_enabled("yarn")
+
+
+def _iceberg_jar() -> str | None:
+    """An iceberg-spark-runtime jar, if the environment grew one:
+    $SPARK_GRAFT_ICEBERG_JAR, or pyspark's own jars dir."""
+    import glob
+    import os
+
+    import pyspark
+
+    explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if explicit and os.path.exists(explicit):
+        return explicit
+    hits = glob.glob(
+        os.path.join(
+            os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar"
+        )
+    )
+    return hits[0] if hits else None
+
+
+@pytest.mark.skipif(
+    _iceberg_jar() is None,
+    reason="no iceberg-spark-runtime jar in this environment (SURVEY.md §7.0); "
+    "set SPARK_GRAFT_ICEBERG_JAR to light this up",
+)
+def test_iceberg_checkpoint_e2e(tmp_path):
+    """Real-catalog e2e for the production table path (VERDICT r4 #8):
+    write -> is_committed -> read parity -> atomic re-commit
+    (createOrReplace snapshot) against a hadoop catalog. Runs in a
+    SUBPROCESS so the jar + catalog conf bind to a fresh JVM (the shared
+    test session can't load jars post-hoc)."""
+    import subprocess
+    import sys
+
+    child = f"""
+import sys
+sys.path.insert(0, {repr(str(REPO))})
+from pyspark.sql import SparkSession
+wh = {repr(str(tmp_path / "warehouse"))}
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("iceberg-e2e")
+    .config("spark.jars", {repr(_iceberg_jar() or "")})
+    .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.lake.type", "hadoop")
+    .config("spark.sql.catalog.lake.warehouse", wh)
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from simhash_spark.sources.tableio import CheckpointStore, iceberg_available
+assert iceberg_available(spark, "lake"), "jar present but catalog not usable"
+store = CheckpointStore(spark, {repr(str(tmp_path / "ckpt"))}, catalog="lake")
+df = spark.range(100).selectExpr("concat('clip-', id) as clip_id", "id as v")
+store.write("profile", df)
+assert store.is_committed("profile")
+back = store.read("profile")
+assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+df2 = spark.range(50).selectExpr("concat('clip-', id) as clip_id", "id * 2 as v")
+store.write("profile", df2)  # atomic snapshot replace
+assert store.read("profile").count() == 50
+print("ICEBERG_E2E_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ICEBERG_E2E_OK" in out.stdout
