@@ -57,6 +57,8 @@ def cross_shard_verified_pairs(
     shard_stores: list[CheckpointStore],
     partitions: int | None = None,
     metrics_sink=None,
+    bkey_slices: int = 1,
+    gram_hits_min: int = 2,
 ) -> DataFrame:
     """Inter-shard verified duplicate pairs from per-shard checkpoints.
 
@@ -64,7 +66,18 @@ def cross_shard_verified_pairs(
     the standard candidate generator over the union, keeps only pairs
     whose endpoints live in DIFFERENT shards, and verifies them with the
     standard tiered verifier. All operators are the single-run ones —
-    no parallel implementation to drift."""
+    no parallel implementation to drift.
+
+    ``bkey_slices > 1`` is the 10^12 shape of THIS step (module doc):
+    candidate generation runs independently per band-key slice. Each
+    band GROUP (one bkey) lives wholly inside one slice, so group
+    sizing, caps and star hubs are bit-identical to the single pass —
+    only the per-PAIR evidence (det priority, band-hit counts, starred)
+    spans slices, so the slices run UNGATED and the associative pair
+    aggregation + the verifiability gate are applied once across slice
+    partials (gating per slice would drop pairs whose mh/gram hits
+    split 1+1 across slices; equality vs the single pass is
+    pytest-pinned in tests/test_shards.py)."""
     key = C.ID_KEY  # 'cid' interior (default) or 'clip_id' legacy
     bands = None
     profiles = None
@@ -77,9 +90,52 @@ def cross_shard_verified_pairs(
         profiles = p if profiles is None else profiles.unionByName(p)
         owner = o if owner is None else owner.unionByName(o)
 
-    pairs = candidate_pairs(
-        bands, partitions=partitions, metrics_sink=metrics_sink
-    )
+    if bkey_slices <= 1:
+        pairs = candidate_pairs(
+            bands, partitions=partitions, metrics_sink=metrics_sink
+        )
+    else:
+        from simhash_spark.operators.lsh import DETS
+
+        partials = None
+        for k in range(bkey_slices):
+            sl = bands.filter(F.pmod(F.xxhash64("bkey"), F.lit(bkey_slices)) == k)
+            p = candidate_pairs(
+                sl, partitions=partitions, metrics_sink=metrics_sink, gate=False
+            )
+            partials = p if partials is None else partials.unionByName(p)
+        det_pr = F.array_position(F.array(*[F.lit(d) for d in DETS]), F.col("det"))
+        merged = (
+            partials.withColumn("_pr", det_pr)
+            .groupBy("a", "b")
+            .agg(
+                F.min("_pr").alias("_pr"),
+                F.sum("mh_hits").alias("mh_hits"),
+                F.sum("gram_hits").alias("gram_hits"),
+                F.max("starred").alias("starred"),
+            )
+            .select(
+                "a",
+                "b",
+                F.element_at(
+                    F.array(*[F.lit(d) for d in DETS]), F.col("_pr").cast("int")
+                ).alias("det"),
+                "mh_hits",
+                "gram_hits",
+                "starred",
+            )
+        )
+        # the same source-side verifiability gate candidate_pairs applies
+        # (lsh.py), now on the cross-slice totals
+        pairs = merged.filter(
+            F.col("det").isin("exact", "sim")
+            | (F.col("mh_hits") >= 2)
+            | (F.col("gram_hits") >= gram_hits_min)
+            | (
+                (F.col("starred") == 1)
+                & ((F.col("mh_hits") >= 1) | (F.col("gram_hits") >= 1))
+            )
+        )
     cross = (
         pairs.join(
             owner.select(F.col("_id").alias("a"), F.col("_shard").alias("_sa")), "a"

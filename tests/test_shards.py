@@ -21,22 +21,28 @@ from simhash_spark.sources.synth import make_clips
 
 
 @pytest.fixture(scope="module")
-def dirs():
+def dirs(spark):
+    """Temp root with BOTH shard pipelines already run (every test here
+    consumes the shard checkpoints; building them once keeps each test
+    self-sufficient under -k selection)."""
     d = tempfile.mkdtemp(prefix="shard-merge-test-")
+    clips_pd, _ = make_clips(700, seed=11)
+    shard_a = clips_pd.iloc[0::2].reset_index(drop=True)
+    shard_b = clips_pd.iloc[1::2].reset_index(drop=True)
+    DedupPipeline(spark, f"{d}/shard0").run(spark.createDataFrame(shard_a))
+    DedupPipeline(spark, f"{d}/shard1").run(spark.createDataFrame(shard_b))
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
 
 def test_shard_merge_equals_single_run(spark, dirs):
     clips_pd, truth = make_clips(700, seed=11)
-    # interleaved split: planted (source, copy) pairs land in DIFFERENT
-    # shards often (sources are early rows, copies late), so the test
-    # actually exercises the cross-shard link, not just the union.
+    # interleaved split (matches the fixture's): planted (source, copy)
+    # pairs land in DIFFERENT shards often (sources are early rows,
+    # copies late), so the test actually exercises the cross-shard link,
+    # not just the union.
     shard_a = clips_pd.iloc[0::2].reset_index(drop=True)
-    shard_b = clips_pd.iloc[1::2].reset_index(drop=True)
     full = spark.createDataFrame(clips_pd)
-    df_a = spark.createDataFrame(shard_a)
-    df_b = spark.createDataFrame(shard_b)
 
     # sanity: the split must leave some truth pairs straddling shards
     in_a = set(shard_a["clip_id"])
@@ -47,8 +53,6 @@ def test_shard_merge_equals_single_run(spark, dirs):
     ]
     assert len(straddle) >= 5, "fixture regression: no cross-shard dups"
 
-    DedupPipeline(spark, f"{dirs}/shard0").run(df_a)
-    DedupPipeline(spark, f"{dirs}/shard1").run(df_b)
     merged = merge_shard_runs(
         spark,
         [f"{dirs}/shard0", f"{dirs}/shard1"],
@@ -94,3 +98,34 @@ def test_merge_is_resumable(spark, dirs):
         )
     )
     assert first == again
+
+
+def test_cross_shard_link_is_bkey_shardable(spark, dirs):
+    """shards.py claims the cross-shard link step is itself shardable by
+    band-key range. Check the claim with the implemented shape
+    (bkey_slices > 1: UNGATED per-slice candidate generation, one
+    associative pair-evidence merge + gate across slices): the sliced
+    link's verified pair set must equal the single-pass link's. Naive
+    per-slice gating would NOT satisfy this — band-hit evidence and det
+    priority span slices — which is exactly why the merge exists."""
+    from simhash_spark.plans.shards import cross_shard_verified_pairs
+    from simhash_spark.sources.tableio import CheckpointStore
+
+    stores = [
+        CheckpointStore(spark, f"{dirs}/shard0"),
+        CheckpointStore(spark, f"{dirs}/shard1"),
+    ]
+    single = {
+        tuple(r)
+        for r in cross_shard_verified_pairs(spark, stores)
+        .select("a", "b")
+        .collect()
+    }
+    sliced = {
+        tuple(r)
+        for r in cross_shard_verified_pairs(spark, stores, bkey_slices=3)
+        .select("a", "b")
+        .collect()
+    }
+    assert sliced == single
+    assert len(single) > 0  # the fixture must actually exercise the link
