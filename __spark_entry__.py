@@ -625,6 +625,9 @@ _AUDIO_FP_AUDIT_PATH = os.path.join(_SIDE_DIR, "audio_fp_audit.parquet")
 _SRP_CAND_PATH = os.path.join(_SIDE_DIR, "srp_candidates.parquet")
 _CLS_AUDIT_DIR = os.path.join(_SIDE_DIR, "classifier_audit")
 _IVF_CAND_PATH = os.path.join(_SIDE_DIR, "ivf_candidates.parquet")
+_SURV_EDGES_PATH = os.path.join(_SIDE_DIR, "surv_edges.parquet")
+_SURV_NODES_PATH = os.path.join(_SIDE_DIR, "surv_nodes.parquet")
+_SPECTRAL_AUDIT_PATH = os.path.join(_SIDE_DIR, "spectral_audit.parquet")
 
 
 def q_verified_hamming_pairs(spark, sf_dir):
@@ -942,6 +945,124 @@ def q_ivf_ann_topk(spark, sf_dir):
     return srp_rerank_topk(side, e, q, k=10).select("query_id", "vec_id", "rnk")
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup DELIVERABLE: one kept (canonical) document per duplicate
+    cluster plus the reduction accounting — what a training-data pipeline
+    actually materializes after near-dup detection. Canonical member =
+    the cluster label itself (min clip_id, the CC fixpoint's label rule),
+    so keep/drop is a pure function of the cluster table; dropped_chars
+    totals the text volume the dedup removes.
+
+    ORACLE-CHECKED: same recursive-CTE fixpoint oracle as
+    doc_dup_clusters (side-parquet edges + nodes re-walked to components
+    in DuckDB), extended with the keep-min rule and a documents join —
+    a wrong cluster label, a mis-picked canonical, or a drop-accounting
+    error all change rows/values and fail the hash compare."""
+    pipe = _shared_pipeline(spark, sf_dir)
+    clusters = pipe.store.read("clusters")
+    pipe.store.read("verified_pairs").select("a", "b").distinct().write.mode(
+        "overwrite"
+    ).parquet(_SURV_EDGES_PATH)
+    clusters.write.mode("overwrite").parquet(_SURV_NODES_PATH)
+    cl = spark.read.parquet(_SURV_NODES_PATH)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("clip_id"), "n_chars"
+    )
+    return (
+        cl.join(d, "clip_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.when(
+                    F.col("clip_id") != F.col("cluster_id"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).alias("dropped_chars"),
+        )
+        .select(
+            F.col("cluster_id").cast("long").alias("kept_doc_id"),
+            "n_members",
+            "dropped_chars",
+        )
+    )
+
+
+def q_decontam_ngram_hits(spark, sf_dir):
+    """Benchmark decontamination — the standard 8-token-gram overlap
+    check an LLM training pipeline runs against its eval suites: treat
+    sources 'src0'..'src2' as the held-out benchmark, every other source
+    as training corpus, and report (corpus_doc, bench_doc, n shared
+    distinct 8-grams) for every contaminated pair. Spark plan: JVM-side
+    tokenize + slide (transform over sequence — no UDF), explode the
+    per-doc DISTINCT gram set, broadcast the benchmark side (eval
+    suites are tiny next to a 10^12-doc corpus), hash-join on gram.
+    Same shape at 100 TB: the gram join is the substring detector's
+    equi-join with the dim side broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(_norm(F.col("text")))
+    g = (
+        d.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 7),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 8)),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    bench_srcs = ["src0", "src1", "src2"]
+    bench = g.filter(F.col("source").isin(bench_srcs)).select(
+        F.col("doc_id").alias("bench_doc_id"), "gram"
+    )
+    corpus = g.filter(~F.col("source").isin(bench_srcs)).select(
+        F.col("doc_id").alias("corpus_doc_id"), "gram"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def q_audio_spectral(spark, sf_dir):
+    """Multimodal: FFT spectral shape features (centroid / 85% rolloff /
+    flatness / dominant band) over synthetic WAV clips via mapInPandas
+    (sf_dir unused: clips are generated deterministically).
+
+    ORACLE-CHECKED at the VALUE level — same idiom as audio_features:
+    the rFFT itself has no SQL equivalent (pinned by a naive-DFT golden
+    test in tests/test_audio.py), but every FEATURE is a pure function
+    of the materialized band-power vector, and DuckDB re-derives all
+    four from the same doubles (band centers are exact binary fractions
+    — (2k+1)·sr/256 — so both engines compute them exactly; the
+    remaining float sums differ only in association order, orders of
+    magnitude below the 4/6-dp rounding both sides apply). A wrong
+    band-center convention, rolloff cumsum off-by-one, or flatness
+    floor drift fails the hash compare."""
+    from simhash_spark.functions.audio import spectral_features
+    from simhash_spark.sources.synth import make_clips
+
+    clips_pd, _ = make_clips(200, seed=11, dur_ms_range=(300, 800))
+    df = spark.createDataFrame(clips_pd[["clip_id", "bytes"]])
+    feats = spectral_features(df, keep_bands=True)
+    feats.write.mode("overwrite").parquet(_SPECTRAL_AUDIT_PATH)
+    side = spark.read.parquet(_SPECTRAL_AUDIT_PATH)
+    return side.select(
+        "clip_id",
+        "sr_hz",
+        F.round("spec_centroid_hz", 4).alias("spec_centroid_hz"),
+        F.round("rolloff85_hz", 4).alias("rolloff85_hz"),
+        F.round("flatness", 6).alias("flatness"),
+        "dominant_band",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -981,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked: DuckDB re-derives per-iter accuracy from the
         # side-parquet weight snapshots (oracle_sql below)
         "classifier_train_eval": q_classifier_train_eval,
+        "dedup_survivors": q_dedup_survivors,
+        "decontam_ngram_hits": q_decontam_ngram_hits,
+        "audio_spectral_features": q_audio_spectral,
     }
 
 
@@ -1373,5 +1497,65 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, vec_id ASC) AS rnk
               FROM scored)
             WHERE rnk <= 10
+        """,
+        # same fixpoint walk as doc_dup_clusters, extended with the
+        # keep-min canonical rule + the documents join for the
+        # dropped-volume accounting
+        "dedup_survivors": f"""
+            WITH RECURSIVE und AS (
+              SELECT a, b FROM read_parquet('{_SURV_EDGES_PATH}/*.parquet')
+              UNION
+              SELECT b AS a, a AS b FROM read_parquet('{_SURV_EDGES_PATH}/*.parquet')),
+            walk(node, lbl) AS (
+              SELECT clip_id, clip_id FROM read_parquet('{_SURV_NODES_PATH}/*.parquet')
+              UNION
+              SELECT und.b, walk.lbl FROM walk JOIN und ON und.a = walk.node),
+            comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+            SELECT CAST(comp.cluster_id AS BIGINT) AS kept_doc_id,
+                   count(*)::BIGINT AS n_members,
+                   CAST(sum(CASE WHEN comp.node <> comp.cluster_id
+                                 THEN d.n_chars ELSE 0 END) AS BIGINT)
+                     AS dropped_chars
+            FROM comp JOIN documents d ON d.doc_id = CAST(comp.node AS BIGINT)
+            GROUP BY comp.cluster_id
+        """,
+        "decontam_ngram_hits": f"""
+            WITH tk AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(toks) - 6),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+              FROM tk WHERE len(toks) >= 8)
+            SELECT c.doc_id AS corpus_doc_id, b.doc_id AS bench_doc_id,
+                   count(*)::BIGINT AS n_shared_grams
+            FROM g c JOIN g b ON c.gram = b.gram
+            WHERE c.source NOT IN ('src0', 'src1', 'src2')
+              AND b.source IN ('src0', 'src1', 'src2')
+            GROUP BY c.doc_id, b.doc_id
+        """,
+        # every feature re-derived from the materialized band-power
+        # doubles; band centers (2k+1)*sr/256 are exact binary fractions
+        # so both engines agree bit-for-bit on them
+        "audio_spectral_features": f"""
+            WITH t AS (SELECT clip_id, sr_hz, bands, list_sum(bands) AS tot
+                       FROM read_parquet('{_SPECTRAL_AUDIT_PATH}/*.parquet'))
+            SELECT clip_id, sr_hz,
+                   round(CASE WHEN tot IS NULL OR tot = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 65),
+                                k -> ((k - 0.5) * (sr_hz / 2.0) / 64) * bands[k]))
+                              / tot END, 4) AS spec_centroid_hz,
+                   round(CASE WHEN tot IS NULL OR tot = 0 THEN 0.0
+                         ELSE (list_filter(range(1, 65),
+                                 i -> list_sum(bands[1:i]) >= 0.85 * tot)[1]
+                               - 0.5) * (sr_hz / 2.0) / 64 END, 4) AS rolloff85_hz,
+                   round(CASE WHEN tot IS NULL OR tot = 0 THEN 0.0
+                         ELSE exp(list_sum(list_transform(bands,
+                                v -> ln(v + 1e-12))) / 64)
+                              / (tot / 64 + 1e-12) END, 6) AS flatness,
+                   (CASE WHEN tot IS NULL OR tot = 0 THEN 1
+                         ELSE list_position(bands, list_max(bands)) END - 1
+                   )::BIGINT AS dominant_band
+            FROM t
         """,
     }

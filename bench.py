@@ -51,7 +51,13 @@ HEADLINE = [
     "ivf_ann_topk",
     "overlap_span_pairs",
     "audio_dup_pairs",
+    "audio_spectral_features",
+    "decontam_ngram_hits",
     "doc_dup_clusters",
+    # runs after doc_dup_clusters on purpose: resumes the shared pipeline
+    # checkpoint, so it measures the incremental deliverable cost
+    # (cluster read + keep-min join + accounting agg), not a re-run
+    "dedup_survivors",
 ]
 
 

@@ -119,6 +119,104 @@ def audio_features(df, n_frames: int = 16, keep_samples: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Spectral shape features — full-clip rFFT power folded into equal-width
+# frequency bands, then the classic spectral descriptors (centroid,
+# 85% rolloff, flatness, dominant band). All features are scale-invariant
+# in the band powers, so the FFT normalization convention is free.
+# ---------------------------------------------------------------------------
+
+_SPEC_BANDS = 64
+
+
+def _spectral_kernel(sr: int, s: np.ndarray, n_bands: int):
+    """Band powers + shape features for one clip. Returns
+    (bands, centroid_hz, rolloff85_hz, flatness, dominant_band)."""
+    x = s.astype(np.float64) / 32768.0
+    n = len(x)
+    if n == 0 or sr <= 0:
+        return [0.0] * n_bands, 0.0, 0.0, 0.0, 0
+    p = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.arange(len(p)) * (sr / n)
+    idx = np.minimum(
+        (freqs / ((sr / 2.0) / n_bands)).astype(np.int64), n_bands - 1
+    )
+    bands = np.bincount(idx, weights=p, minlength=n_bands)[:n_bands]
+    tot = float(bands.sum())
+    if tot == 0.0:
+        return bands.tolist(), 0.0, 0.0, 0.0, 0
+    centers = (np.arange(n_bands) + 0.5) * ((sr / 2.0) / n_bands)
+    centroid = float(np.dot(centers, bands) / tot)
+    k_roll = int(np.argmax(np.cumsum(bands) >= 0.85 * tot))
+    rolloff = float(centers[k_roll])
+    flat = float(
+        np.exp(np.log(bands + 1e-12).mean()) / (bands.mean() + 1e-12)
+    )
+    dom = int(np.argmax(bands))
+    return bands.tolist(), centroid, rolloff, flat, dom
+
+
+_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("spec_centroid_hz", T.DoubleType()),
+        T.StructField("rolloff85_hz", T.DoubleType()),
+        T.StructField("flatness", T.DoubleType()),
+        T.StructField("dominant_band", T.LongType()),
+    ]
+)
+
+
+def spectral_features(df, n_bands: int = _SPEC_BANDS, keep_bands: bool = False):
+    """clips(clip_id, bytes) -> spectral shape features via mapInPandas.
+
+    Full-clip rFFT power folded into ``n_bands`` equal-width bands of
+    [0, sr/2); features are pure functions of the band-power vector:
+
+      spec_centroid_hz — band-center power-weighted mean frequency
+      rolloff85_hz     — center of the first band where the cumulative
+                         power reaches 85% of the total
+      flatness         — geometric / arithmetic mean of band powers
+                         (1e-12 floor inside the log and denominator)
+      dominant_band    — argmax band (ties -> first)
+
+    ``keep_bands=True`` additionally emits the ``bands double[]`` vector
+    — the AUDIT hook: the oracle gate re-derives every feature
+    relationally from the same doubles. Decode failures / empty PCM
+    yield zero bands and zero features (sr_hz 0)."""
+
+    schema = _SPECTRAL_SCHEMA
+    if keep_bands:
+        schema = T.StructType(
+            schema.fields + [T.StructField("bands", T.ArrayType(T.DoubleType()))]
+        )
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, s = decode_wav(bytes(raw))
+                except Exception:
+                    sr, s = 0, np.empty(0, dtype=np.int16)
+                bands, cent, roll, flat, dom = _spectral_kernel(sr, s, n_bands)
+                rows.append((cid, sr, cent, roll, flat, dom, bands))
+            cols = [
+                "clip_id",
+                "sr_hz",
+                "spec_centroid_hz",
+                "rolloff85_hz",
+                "flatness",
+                "dominant_band",
+                "bands",
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            yield out if keep_bands else out.drop(columns=["bands"])
+
+    return df.select("clip_id", "bytes").mapInPandas(op, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # Perceptual audio fingerprint (Haitsma & Kalker, "A Highly Robust Audio
 # Fingerprinting System", ISMIR 2002 — public). Extends the engine's dedup
 # to the AUDIO payload itself: exact byte hashing misses re-gained /

@@ -181,3 +181,84 @@ def test_releasing_frees_direct_consumer_persists(spark):
         pairs.collect()
         assert n_persistent() > base  # persists live while consuming
     assert n_persistent() == base  # and are freed on exit
+
+
+# ---------------------------------------------------------------------------
+# spectral shape features
+# ---------------------------------------------------------------------------
+
+def test_spectral_kernel_matches_naive_dft():
+    """Band powers from the rFFT kernel == a from-definition DFT."""
+    from simhash_spark.functions.audio import _spectral_kernel
+
+    rng = np.random.default_rng(0)
+    s = rng.normal(0, 3000, 256).astype(np.int16)
+    sr, nb = 16000, 8
+    bands, _, _, _, _ = _spectral_kernel(sr, s, nb)
+
+    x = s.astype(np.float64) / 32768.0
+    n = len(x)
+    t = np.arange(n)
+    naive = np.array(
+        [
+            abs(np.sum(x * np.exp(-2j * np.pi * k * t / n))) ** 2
+            for k in range(n // 2 + 1)
+        ]
+    )
+    freqs = np.arange(n // 2 + 1) * (sr / n)
+    idx = np.minimum((freqs / ((sr / 2.0) / nb)).astype(int), nb - 1)
+    expect = np.bincount(idx, weights=naive, minlength=nb)
+    assert np.allclose(bands, expect, rtol=1e-6)
+
+
+def test_spectral_sine_tone_features():
+    """A pure 3 kHz tone: dominant band 24 (125 Hz bands at sr 16k),
+    centroid/rolloff at that band center, near-zero flatness."""
+    from simhash_spark.functions.audio import _spectral_kernel
+
+    sr, f = 16000, 3000.0
+    t = np.arange(sr)
+    s = (10000 * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+    bands, cent, roll, flat, dom = _spectral_kernel(sr, s, 64)
+    assert dom == 24
+    assert abs(cent - 3062.5) < 10.0
+    assert roll == pytest.approx(3062.5)
+    assert flat < 0.01
+    # white noise, by contrast, is near-flat
+    rng = np.random.default_rng(1)
+    wn = rng.normal(0, 3000, sr).astype(np.int16)
+    _, _, _, flat_wn, _ = _spectral_kernel(sr, wn, 64)
+    assert flat_wn > 0.5
+
+
+def test_spectral_scale_invariance_and_guards():
+    from simhash_spark.functions.audio import _spectral_kernel
+
+    rng = np.random.default_rng(2)
+    s = rng.normal(0, 2000, 4096).astype(np.int16)
+    b1, c1, r1, f1, d1 = _spectral_kernel(16000, s, 64)
+    b2, c2, r2, f2, d2 = _spectral_kernel(16000, s.astype(np.float64) * 0.5, 64)
+    assert (c1, r1, d1) == (c2, r2, d2)  # exact: power-of-two gain
+    assert f1 == pytest.approx(f2, rel=1e-6)
+    # guards: empty pcm / zero sr -> all-zero features
+    assert _spectral_kernel(16000, np.empty(0, dtype=np.int16), 8) == (
+        [0.0] * 8, 0.0, 0.0, 0.0, 0)
+    assert _spectral_kernel(0, s, 8)[1:] == (0.0, 0.0, 0.0, 0)
+
+
+def test_spectral_features_spark_decode_fail_guard(spark):
+    from simhash_spark.functions.audio import spectral_features
+
+    clips_pd, _ = make_clips(5, seed=3, dur_ms_range=(300, 500))
+    rows = [
+        (cid, bytes(raw))
+        for cid, raw in zip(clips_pd["clip_id"], clips_pd["bytes"])
+    ] + [("bad", b"not-a-wav")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r["clip_id"]: r for r in spectral_features(df).collect()}
+    assert len(out) == 6
+    bad = out["bad"]
+    assert bad["sr_hz"] == 0 and bad["spec_centroid_hz"] == 0.0
+    assert bad["dominant_band"] == 0
+    good = [r for k, r in out.items() if k != "bad"]
+    assert all(r["sr_hz"] > 0 and r["spec_centroid_hz"] > 0 for r in good)
