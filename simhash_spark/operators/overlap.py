@@ -8,15 +8,18 @@ transcripts — are found and LOCALIZED, the shape a training-data
 decontamination pass needs.
 
 Spark plan (scales like the substring tier, SURVEY.md §7.2/5):
-  1. winnowed gram inverted index (``reference.substring_grams`` — content
-     -sampled, alignment-free) -> explode -> self-equi-join on gram id.
-     Hot grams over ``gram_cap`` docs (boilerplate, all-silence
-     transcripts) are DROPPED WITH A METRICS ROW, never silently
-     (lsh.py idiom).
+  1. winnowed FINGERPRINT inverted index
+     (``reference.winnowed_fingerprints_batch`` — min span-hash per
+     winnow window, content-determined, alignment-free; the winnowing
+     guarantee makes candidates EXACT for spans >= min_len) -> explode
+     -> self-equi-join on fingerprint. Hot fingerprints over
+     ``gram_cap`` docs (boilerplate, all-silence transcripts) are
+     DROPPED WITH A METRICS ROW, never silently (lsh.py idiom).
   2. pair dedupe via groupBy(a, b) with a hit count (map-side combinable).
-  3. per-pair exact confirm: suffix-array + Kasai LCP longest-common-
-     substring (simhash_spark/suffix.py) in ONE Arrow-batched pandas UDF,
-     run only on deduped candidates — never all pairs.
+  3. per-pair exact confirm: rolling-hash screen, then suffix-array LCP
+     longest-common-substring (simhash_spark/suffix.py) in ONE
+     Arrow-batched pandas UDF, run only on deduped candidates — never
+     all pairs.
 
 At 10^12 rows every stage is a hash shuffle on gram id / pair key; no
 broadcast of anything row-scale, no driver-side loop, no cartesian.
@@ -26,11 +29,12 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .. import config as C
-from ..functions.signatures import normalize_udf, substring_grams_udf
+from ..functions.signatures import normalize_udf
 from ..suffix import lcs_batch
 from ..util import track_persisted
 
@@ -43,21 +47,63 @@ _SPAN_SCHEMA = T.StructType(
 )
 
 
-@F.pandas_udf(_SPAN_SCHEMA)
-def _lcs_span(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
-    """Longest common substring per pair -> (overlap_len, off_a, off_b)."""
-    spans = lcs_batch(norm_a.fillna(""), norm_b.fillna(""))
-    return pd.DataFrame(
-        {"overlap_len": spans[:, 0], "off_a": spans[:, 1], "off_b": spans[:, 2]}
-    )
+def lcs_span_udf_for(min_len: int | None):
+    """Span-confirm pandas UDF with the flat rolling-hash screen pinned
+    to ``min_len``: pairs sharing no min_len-gram (provably no
+    qualifying span) skip the per-pair suffix array entirely — exact
+    for this operator, whose output filter keeps only overlap_len >=
+    min_len (suffix.lcs_batch docstring). ~99% of gram-index candidate
+    pairs are screened out at sf0.1, which is most of the stage's wall.
+
+    asNondeterministic: the kernel IS deterministic, but without the
+    marker Catalyst collapses the span projection into the overlap_len
+    filter and runs the suffix-array UDF TWICE per pair (seen in
+    .explain: two ArrowEvalPython nodes over the same inputs). The
+    marker forces one evaluation; the filter runs on the materialized
+    struct."""
+
+    @F.pandas_udf(_SPAN_SCHEMA)
+    def _lcs_span(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
+        spans = lcs_batch(
+            norm_a.fillna(""), norm_b.fillna(""), min_len=min_len
+        )
+        return pd.DataFrame(
+            {
+                "overlap_len": spans[:, 0],
+                "off_a": spans[:, 1],
+                "off_b": spans[:, 2],
+            }
+        )
+
+    return _lcs_span.asNondeterministic()
 
 
-# asNondeterministic: the kernel IS deterministic, but without the marker
-# Catalyst collapses the span projection into the overlap_len filter and
-# runs the suffix-array UDF TWICE per pair (seen in .explain: two
-# ArrowEvalPython nodes over the same inputs). The marker forces one
-# evaluation; the filter runs on the materialized struct.
-lcs_span_udf = _lcs_span.asNondeterministic()
+# unscreened instance (true LCS for every pair) — kept for callers that
+# want spans of any length
+lcs_span_udf = lcs_span_udf_for(None)
+
+
+def fingerprints_udf_for(min_len: int):
+    """Winnowed-fingerprint candidate index pinned to ``min_len``:
+    w_gram = min_len // 2 char grams, winnow window w_win = min_len -
+    w_gram + 1, so w_gram + w_win - 1 == min_len and the winnowing
+    guarantee makes the index EXACT for spans >= min_len
+    (reference.winnowed_fingerprints_batch) — no sampling miss, and
+    ~100x fewer coincidence candidates than short sampled grams (a
+    32-char verbatim match is evidence; a 16-char one is boilerplate)."""
+    w_gram = max(1, min_len // 2)
+    w_win = min_len - w_gram + 1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fps(norm_text: pd.Series) -> pd.Series:
+        from ..reference import winnowed_fingerprints_batch
+
+        fps = winnowed_fingerprints_batch(
+            norm_text.fillna("").tolist(), w_gram, w_win
+        )
+        return pd.Series([f.astype(np.int64) for f in fps])
+
+    return _fps
 
 
 def overlap_span_pairs(
@@ -72,11 +118,11 @@ def overlap_span_pairs(
     """(a, b, overlap_len, off_a, off_b) with a < b and overlap_len >=
     ``min_len``; offsets index the NORMALIZED texts.
 
-    Recall is gram-sampled (deterministic in content): a shared span of
-    exactly ``min_len`` chars holds ``min_len - GRAM_K + 1`` gram
-    positions of which 1-in-GRAM_STRIDE is emitted — miss probability
-    (1 - 1/8)^49 ~ 0.14% at the 64-char default, vanishing for longer
-    spans.  The confirm itself is exact (suffix-array LCS).
+    Recall of the candidate index is EXACT (winnowing guarantee,
+    ``fingerprints_udf_for``): every pair sharing a >= ``min_len``-char
+    run shares a fingerprint — the only recall caveat left is the
+    explicit ``gram_cap`` hot-fingerprint drop below.  The confirm is
+    exact too (suffix-array LCS over screened candidates).
 
     BLIND SPOT (by design, logged): a span shared verbatim by MORE THAN
     ``gram_cap`` docs has all of its grams hot, so every pair sharing
@@ -109,7 +155,9 @@ def overlap_span_pairs(
     eligible = norm.filter(F.length("norm_text") >= min_len)
 
     grams = (
-        eligible.select("id", F.explode(substring_grams_udf("norm_text")).alias("gram"))
+        eligible.select(
+            "id", F.explode(fingerprints_udf_for(min_len)("norm_text")).alias("gram")
+        )
         .repartition(n_part, "gram")
         .persist()
     )
@@ -157,7 +205,7 @@ def overlap_span_pairs(
         texts.select(F.col("id").alias("a"), F.col("norm_text").alias("norm_a")), "a"
     ).join(texts.select(F.col("id").alias("b"), F.col("norm_text").alias("norm_b")), "b")
 
-    span: Column = lcs_span_udf("norm_a", "norm_b")
+    span: Column = lcs_span_udf_for(min_len)("norm_a", "norm_b")
     out = (
         with_texts.withColumn("span", span)
         .select("a", "b", "gram_hits", "span.overlap_len", "span.off_a", "span.off_b")

@@ -843,6 +843,84 @@ def _substring_grams_chunk(norms: Sequence[str]) -> list[np.ndarray]:
     return np.split(vs, np.cumsum(counts)[:-1])
 
 
+def _sliding_min_u64(vals: np.ndarray, w: int) -> np.ndarray:
+    """Min of every length-w window of a uint64 array, O(n) via the
+    two-pass block trick (per-block prefix mins from the left + suffix
+    mins from the right; a window spans at most two blocks)."""
+    n = len(vals)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    pad = (-n) % w
+    if pad:
+        vals = np.concatenate(
+            [vals, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))]
+        )
+    blocks = vals.reshape(-1, w)
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[: n - w + 1], pre[w - 1 : n])
+
+
+def winnowed_fingerprints_batch(
+    norms: Sequence[str], w_gram: int, w_win: int
+) -> list[np.ndarray]:
+    """Per-row DISTINCT winnowed fingerprints: the min span-hash of every
+    ``w_win``-window of consecutive ``w_gram``-char gram hashes
+    (winnowing — Schleimer, Wilkerson & Aiken, SIGMOD 2003; public).
+
+    GUARANTEE (their Theorem, value-only form): two texts sharing a
+    verbatim run of length >= w_gram + w_win - 1 select at least one
+    IDENTICAL fingerprint — the run contains a full hash-window on both
+    sides with the same hash sequence, whose min value both emit. An
+    EXACT candidate index for that span threshold (zero sampling miss —
+    unlike mod-``GRAM_STRIDE`` sampling), at ~2/(w_win+1) the density
+    of full gram emission. Ties in a window are value-ties, so keeping
+    VALUES (not positions) sidesteps tie-breaking entirely.
+
+    Flat across the batch like every kernel here: one encode, one
+    prefix pass, one sliding-min, windows bridging rows discarded;
+    used by operators/overlap.py (operator-local index — the pipeline's
+    pinned GRAM_K/GRAM_STRIDE semantics are untouched)."""
+    bounds = _chunk_bounds(norms)
+    if len(bounds) > 1:
+        out: list[np.ndarray] = []
+        for r0, r1 in bounds:
+            out.extend(_winnowed_fp_chunk(norms[r0:r1], w_gram, w_win))
+        return out
+    return _winnowed_fp_chunk(norms, w_gram, w_win)
+
+
+def _winnowed_fp_chunk(
+    norms: Sequence[str], w_gram: int, w_win: int
+) -> list[np.ndarray]:
+    n = len(norms)
+    empty = [np.empty(0, dtype=np.uint64)] * n
+    c, row_start, lens = _flatten_norms(norms)
+    row_idx, i, j = _kgram_spans(row_start, lens, w_gram, False)
+    if len(i) == 0:
+        return empty
+    S, pw = _span_prefix(c)
+    ids = _span_hash(S, pw, i, j)
+    # sliding min over the FLAT gram-hash stream (per-row sequences are
+    # contiguous in it); windows bridging rows are discarded by the
+    # endpoint row check.
+    mins = _sliding_min_u64(ids, w_win)
+    m = len(mins)
+    if m == 0:
+        return empty
+    valid = row_idx[:m] == row_idx[w_win - 1 :]
+    vrow, vfp = row_idx[:m][valid], mins[valid]
+    if len(vfp) == 0:
+        return empty
+    order = np.lexsort((vfp, vrow))
+    rs, vs = vrow[order], vfp[order]
+    uniq = np.ones(len(rs), dtype=bool)
+    uniq[1:] = (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])
+    rs, vs = rs[uniq], vs[uniq]
+    counts = np.bincount(rs, minlength=n)
+    return np.split(vs, np.cumsum(counts)[:-1])
+
+
 # ---------------------------------------------------------------------------
 # Pairwise measures & brute-force oracle
 # ---------------------------------------------------------------------------

@@ -26,7 +26,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["suffix_array", "lcp_kasai", "longest_common_substring", "lcs_batch"]
+__all__ = [
+    "suffix_array",
+    "lcp_kasai",
+    "longest_common_substring",
+    "lcs_batch",
+    "shares_gram_batch",
+]
 
 
 def _suffix_array_levels(
@@ -168,12 +174,98 @@ def longest_common_substring(a: str, b: str) -> tuple[int, int, int]:
     return (length, i, j - la - 1)
 
 
-def lcs_batch(norms_a, norms_b) -> np.ndarray:
+# canonical rolling-hash screen ------------------------------------------------
+
+_HB = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+_HBINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _wrap_pows(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(n-1)] in wrapping uint64 arithmetic."""
+    pows = np.empty(n, dtype=np.uint64)
+    if n:
+        pows[0] = 1
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, base, dtype=np.uint64), out=pows[1:]
+            )
+    return pows
+
+
+def shares_gram_batch(norms_a, norms_b, L: int) -> np.ndarray:
+    """Boolean per pair: does (a, b) share an L-char substring?
+
+    One flat pass over the whole batch — no per-pair numpy calls: every
+    L-window of every string gets a CANONICAL polynomial hash
+    ``sum c[i+j] * Binv^j  (mod 2^64)`` computed from one wrapping
+    cumsum (the position factor B^i cancels the global-prefix term, so
+    window hashes are position- and segment-independent; windows
+    crossing a string boundary are masked out), then one lexsort by
+    (pair, hash, side) finds pairs with the same hash on both sides.
+
+    EXACTNESS: equal windows always hash equal — no false negatives,
+    so ``LCS(a,b) >= L  =>  True``.  A false positive needs a mod-2^64
+    collision inside one pair (~grams_a*grams_b / 2^64); callers run
+    the exact suffix-array kernel on screened-in pairs, which turns any
+    collision into a correct sub-L answer.
+    """
+    n_pairs = len(norms_a)
+    hit = np.zeros(n_pairs, dtype=bool)
+    if n_pairs == 0:
+        return hit
+    strs = [(s or "") for s in norms_a] + [(s or "") for s in norms_b]
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    if (lens[:n_pairs] < L).all() or (lens[n_pairs:] < L).all():
+        return hit
+    flat = np.frombuffer(
+        "".join(strs).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    N = len(flat)
+    if N < L:
+        return hit
+    seg = np.repeat(np.arange(len(strs), dtype=np.int64), lens)
+    # S[k] = sum_{j<k} c[j] * Binv^j  (wrapping); window hash at start i:
+    # (S[i+L] - S[i]) * B^i = sum_j c[i+j] * Binv^j — canonical.
+    S = np.zeros(N + 1, dtype=np.uint64)
+    np.cumsum(flat * _wrap_pows(_HBINV, N), out=S[1:])
+    bpow = _wrap_pows(_HB, N - L + 1)
+    W = (S[L:] - S[: N - L + 1]) * bpow
+    valid = seg[: N - L + 1] == seg[L - 1 :]
+    if not valid.any():
+        return hit
+    W = W[valid]
+    seg_w = seg[: N - L + 1][valid]
+    pair = np.where(seg_w < n_pairs, seg_w, seg_w - n_pairs)
+    side = (seg_w >= n_pairs).astype(np.int8)
+    order = np.lexsort((side, W, pair))
+    p, w, s = pair[order], W[order], side[order]
+    adj = (p[1:] == p[:-1]) & (w[1:] == w[:-1]) & (s[1:] != s[:-1])
+    hit[p[:-1][adj]] = True
+    return hit
+
+
+def lcs_batch(norms_a, norms_b, min_len: int | None = None) -> np.ndarray:
     """Per-pair longest-common-substring over aligned sequences.
 
     Returns an (n, 3) int64 array of (length, off_a, off_b) — the shape
-    consumed by operators/overlap.py's Arrow-batched verify UDF."""
-    out = np.empty((len(norms_a), 3), dtype=np.int64)
-    for k, (na, nb) in enumerate(zip(norms_a, norms_b)):
-        out[k] = longest_common_substring(na or "", nb or "")
+    consumed by operators/overlap.py's Arrow-batched verify UDF.
+
+    ``min_len`` enables the flat rolling-hash screen: pairs that share
+    no ``min_len``-gram (provably LCS < min_len) return (0, -1, -1)
+    without paying the per-pair suffix-array cost; screened-in pairs get
+    the exact maximal span.  Exact for any caller that only keeps spans
+    >= min_len (operators/overlap.py's contract); pass None for the
+    true LCS of every pair.  At gram-index candidate ratios (~0.04%
+    true pairs at sf0.1) the screen removes ~99% of the kernel wall."""
+    n = len(norms_a)
+    out = np.zeros((n, 3), dtype=np.int64)
+    out[:, 1:] = -1
+    if min_len is not None:
+        idx = np.where(shares_gram_batch(norms_a, norms_b, min_len))[0]
+    else:
+        idx = range(n)
+    na_at = norms_a.iloc if hasattr(norms_a, "iloc") else norms_a
+    nb_at = norms_b.iloc if hasattr(norms_b, "iloc") else norms_b
+    for k in idx:
+        out[k] = longest_common_substring(na_at[k] or "", nb_at[k] or "")
     return out

@@ -125,3 +125,74 @@ def test_overlap_hot_gram_dropped_with_metrics(spark):
     assert out == []
     (name, groups, kw), = [e for e in events if e[0] == "overlap_hot_grams_dropped"]
     assert groups > 0 and kw["rows"] >= groups * 30 and kw["cap"] == 10
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash screen (lcs_batch min_len fast path)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.text("abc ", max_size=40), st.text("abc ", max_size=40)),
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_shares_gram_batch_matches_lcs_threshold(pairs, L):
+    from simhash_spark.suffix import shares_gram_batch
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = shares_gram_batch(a, b, L)
+    want = [longest_common_substring(x, y)[0] >= L for x, y in pairs]
+    assert list(got) == want
+
+
+def test_lcs_batch_screened_equals_unscreened_above_min_len():
+    import pandas as pd
+
+    rng = random.Random(5)
+    base = "the common planted run that is quite long indeed " * 3
+    pairs = []
+    for k in range(50):
+        fill_a = "".join(rng.choice("xyz ") for _ in range(rng.randrange(200)))
+        fill_b = "".join(rng.choice("uvw ") for _ in range(rng.randrange(200)))
+        if k % 5 == 0:  # planted >= 64-char shared run
+            pairs.append((fill_a + base + fill_a, fill_b + base))
+        else:  # disjoint alphabets -> LCS is tiny (spaces only)
+            pairs.append((fill_a, fill_b))
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    full = lcs_batch(a, b)
+    screened = lcs_batch(a, b, min_len=64)
+    for k in range(len(pairs)):
+        if full[k, 0] >= 64:
+            assert tuple(screened[k]) == tuple(full[k])
+        else:
+            assert tuple(screened[k]) == (0, -1, -1)
+    assert (full[:, 0] >= 64).sum() == 10  # the planted fifth
+
+
+@given(
+    st.text("abcd ", min_size=0, max_size=120),
+    st.text("efgh ", min_size=0, max_size=120),
+    st.text("abcdefgh ", min_size=64, max_size=100),
+)
+@settings(max_examples=40, deadline=None)
+def test_winnowed_fingerprints_guarantee(pre_a, pre_b, run):
+    """Winnowing guarantee: any two texts sharing a >= 64-char run share
+    a fingerprint at (w_gram=32, w_win=33); disjoint-alphabet texts
+    share none."""
+    from simhash_spark.reference import winnowed_fingerprints_batch
+
+    a, b = pre_a + run, run + pre_b
+    fa, fb, fpa, fpb = winnowed_fingerprints_batch(
+        [a, b, pre_a, pre_b], 32, 33
+    )
+    assert len(np.intersect1d(fa, fb)) >= 1  # shared run -> shared fp
+    if pre_a and pre_b:  # disjoint alphabets (no space collision > 31)
+        short_a = pre_a.replace(" ", "x")
+        short_b = pre_b.replace(" ", "y")
+        ga, gb = winnowed_fingerprints_batch([short_a * 3, short_b * 3], 32, 33)
+        assert len(np.intersect1d(ga, gb)) == 0
