@@ -628,6 +628,7 @@ _IVF_CAND_PATH = os.path.join(_SIDE_DIR, "ivf_candidates.parquet")
 _SURV_EDGES_PATH = os.path.join(_SIDE_DIR, "surv_edges.parquet")
 _SURV_NODES_PATH = os.path.join(_SIDE_DIR, "surv_nodes.parquet")
 _SPECTRAL_AUDIT_PATH = os.path.join(_SIDE_DIR, "spectral_audit.parquet")
+_DECONTAM_SPAN_PATH = os.path.join(_SIDE_DIR, "decontam_span_audit.parquet")
 
 
 def q_verified_hamming_pairs(spark, sf_dir):
@@ -1063,6 +1064,68 @@ def q_audio_spectral(spark, sf_dir):
     )
 
 
+_DECONTAM_BENCH_SRCS = ("src0", "src1", "src2")
+
+
+def q_decontam_span_hits(spark, sf_dir):
+    """Span-LEVEL benchmark decontamination — the second half of the
+    decontamination story next to decontam_ngram_hits' token-gram
+    check: for corpus docs sharing a verbatim >= 64-char run with a
+    held-out benchmark doc (sources 'src0'..'src2'), report the
+    contaminated span LOCALIZED (length + offset in each side's
+    normalized text), oriented corpus -> benchmark. Built on the
+    suffix-array overlap detector (operators/overlap.py), i.e. the
+    exact winnowed-fingerprint index + SA confirm.
+
+    ORACLE-CHECKED: spans, BOTH normalized texts, and BOTH sources are
+    materialized to a side parquet; DuckDB re-asserts the span claim
+    (substr equality + length bar), re-validates each side's source
+    against the documents table, and re-derives the orientation rule
+    over the same rows — a wrong offset, a mislabeled source, or a
+    flipped orientation fails the hash compare."""
+    from simhash_spark.functions.signatures import normalize_udf
+    from simhash_spark.operators.overlap import overlap_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    spans = overlap_span_pairs(d)
+    meta = d.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        normalize_udf("text").alias("nt"),
+    )
+    audit = (
+        spans.join(
+            meta.select(
+                F.col("id").alias("a"),
+                F.col("source").alias("src_a"),
+                F.col("nt").alias("norm_a"),
+            ),
+            "a",
+        ).join(
+            meta.select(
+                F.col("id").alias("b"),
+                F.col("source").alias("src_b"),
+                F.col("nt").alias("norm_b"),
+            ),
+            "b",
+        )
+    )
+    audit = _track(audit, spans)
+    audit.write.mode("overwrite").parquet(_DECONTAM_SPAN_PATH)
+    release_persisted(audit)
+    side = spark.read.parquet(_DECONTAM_SPAN_PATH)
+    bench = list(_DECONTAM_BENCH_SRCS)
+    a_bench = F.col("src_a").isin(bench) & ~F.col("src_b").isin(bench)
+    b_bench = F.col("src_b").isin(bench) & ~F.col("src_a").isin(bench)
+    return side.filter(a_bench | b_bench).select(
+        F.when(b_bench, F.col("a")).otherwise(F.col("b")).alias("corpus_doc_id"),
+        F.when(b_bench, F.col("b")).otherwise(F.col("a")).alias("bench_doc_id"),
+        "overlap_len",
+        F.when(b_bench, F.col("off_a")).otherwise(F.col("off_b")).alias("corpus_off"),
+        F.when(b_bench, F.col("off_b")).otherwise(F.col("off_a")).alias("bench_off"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1104,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train_eval": q_classifier_train_eval,
         "dedup_survivors": q_dedup_survivors,
         "decontam_ngram_hits": q_decontam_ngram_hits,
+        "decontam_span_hits": q_decontam_span_hits,
         "audio_spectral_features": q_audio_spectral,
     }
 
@@ -1533,6 +1597,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.source NOT IN ('src0', 'src1', 'src2')
               AND b.source IN ('src0', 'src1', 'src2')
             GROUP BY c.doc_id, b.doc_id
+        """,
+        # span claim re-asserted, sources re-validated against documents,
+        # orientation re-derived — all over the same side parquet
+        "decontam_span_hits": f"""
+            WITH s AS (
+              SELECT p.*,
+                     (p.src_a IN ('src0','src1','src2')
+                      AND p.src_b NOT IN ('src0','src1','src2')) AS a_bench,
+                     (p.src_b IN ('src0','src1','src2')
+                      AND p.src_a NOT IN ('src0','src1','src2')) AS b_bench
+              FROM read_parquet('{_DECONTAM_SPAN_PATH}/*.parquet') p
+              JOIN documents da ON da.doc_id = p.a AND da.source = p.src_a
+              JOIN documents db ON db.doc_id = p.b AND db.source = p.src_b
+              WHERE p.overlap_len >= 64
+                AND substr(p.norm_a, p.off_a::INTEGER + 1, p.overlap_len::INTEGER)
+                    = substr(p.norm_b, p.off_b::INTEGER + 1, p.overlap_len::INTEGER))
+            SELECT CASE WHEN b_bench THEN a ELSE b END AS corpus_doc_id,
+                   CASE WHEN b_bench THEN b ELSE a END AS bench_doc_id,
+                   overlap_len,
+                   CASE WHEN b_bench THEN off_a ELSE off_b END AS corpus_off,
+                   CASE WHEN b_bench THEN off_b ELSE off_a END AS bench_off
+            FROM s WHERE a_bench OR b_bench
         """,
         # every feature re-derived from the materialized band-power
         # doubles; band centers (2k+1)*sr/256 are exact binary fractions
