@@ -143,18 +143,82 @@ class IncrementalDedup:
             batch_id = row["h"] or hashlib.md5(b"empty").hexdigest()
 
         # --- candidate collisions (band hits, counted per detector) -----
+        # HOT-GROUP CAPPING (same contract as lsh.candidate_pairs): a band
+        # group larger than band_group_cap ACROSS (index ∪ batch) would
+        # make the per-bkey join quadratic inside one task — the skew a
+        # long-lived ingest service is guaranteed to hit (boilerplate,
+        # all-silence transcripts, the same page crawled a million times).
+        # Over-cap groups divert to linear STAR edges against a hub that
+        # stays transitively connected ACROSS batches: hub = min clip_id
+        # over index ∪ batch; if this batch introduces a NEW global hub,
+        # one bridge edge (new hub, index hub) keeps the old star and the
+        # new star in one component. Once a group goes hot it stays hot
+        # (the index side only grows), so the topology never flip-flops.
+        # Diverted row counts are logged to _metrics — never silent.
         keys = ["bkey"]
-        vs_old = new_bands.join(
+        cap = self.cfg.band_group_cap
+        idx_sizes = index.groupBy(*keys).agg(
+            F.count("*").alias("idx_n"), F.min("clip_id").alias("idx_hub")
+        )
+        sizes = (
+            new_bands.groupBy(*keys)
+            .agg(F.count("*").alias("new_n"), F.min("clip_id").alias("new_hub"))
+            .join(idx_sizes, keys, "left")
+            .select(
+                *keys,
+                (F.col("new_n") + F.coalesce("idx_n", F.lit(0))).alias("grp_n"),
+                "new_n",
+                F.least(
+                    "new_hub", F.coalesce("idx_hub", F.col("new_hub"))
+                ).alias("hub"),
+                "idx_hub",
+            )
+            .persist()
+        )
+        nb_sized = new_bands.join(sizes.select(*keys, "grp_n", "hub"), keys)
+        cold = nb_sized.filter(F.col("grp_n") <= cap).select(*keys, "clip_id")
+        hot = nb_sized.filter(F.col("grp_n") > cap)
+
+        vs_old = cold.join(
             index.select(*keys, F.col("clip_id").alias("other_id")), keys, "inner"
         ).filter(F.col("clip_id") != F.col("other_id"))
-        nb = new_bands.select(*keys, F.col("clip_id").alias("other_id"))
-        vs_new = new_bands.join(nb, keys, "inner").filter(
+        nb = cold.select(*keys, F.col("clip_id").alias("other_id"))
+        vs_new = cold.join(nb, keys, "inner").filter(
             F.col("clip_id") < F.col("other_id")
         )
-        coll = vs_old.unionByName(vs_new).select(
-            F.least("clip_id", "other_id").alias("a"),
-            F.greatest("clip_id", "other_id").alias("b"),
+        pair_cols = lambda df, l, r: df.select(  # noqa: E731
+            F.least(l, r).alias("a"),
+            F.greatest(l, r).alias("b"),
             det_id_col("bkey").alias("det_id"),
+            F.lit(0).alias("starred"),
+        )
+        star = (
+            hot.filter(F.col("clip_id") != F.col("hub"))
+            .select(
+                F.least("clip_id", "hub").alias("a"),
+                F.greatest("clip_id", "hub").alias("b"),
+                det_id_col("bkey").alias("det_id"),
+                F.lit(1).alias("starred"),
+            )
+        )
+        bridge = (
+            sizes.filter(
+                (F.col("grp_n") > cap)
+                & F.col("idx_hub").isNotNull()
+                & (F.col("hub") < F.col("idx_hub"))
+            )
+            .select(
+                F.col("hub").alias("a"),
+                F.col("idx_hub").alias("b"),
+                det_id_col("bkey").alias("det_id"),
+                F.lit(1).alias("starred"),
+            )
+        )
+        coll = (
+            pair_cols(vs_old, "clip_id", "other_id")
+            .unionByName(pair_cols(vs_new, "clip_id", "other_id"))
+            .unionByName(star)
+            .unionByName(bridge)
         )
         # same dedupe + evidence-count shape as operators/lsh.candidate_pairs
         # (det_id order IS the exact > sim > mh > gram priority)
@@ -164,6 +228,7 @@ class IncrementalDedup:
                 F.min("det_id").alias("det_pr"),
                 F.sum(F.when(F.col("det_id") == 2, 1).otherwise(0)).alias("mh_hits"),
                 F.sum(F.when(F.col("det_id") == 3, 1).otherwise(0)).alias("gram_hits"),
+                F.max("starred").alias("starred"),
             )
             .select(
                 "a",
@@ -173,7 +238,7 @@ class IncrementalDedup:
                 ).alias("det"),
                 "mh_hits",
                 "gram_hits",
-                F.lit(0).alias("starred"),
+                "starred",
             )
         )
 
@@ -221,6 +286,19 @@ class IncrementalDedup:
             partition_by="bkt",
             n_buckets=self.n_buckets,
         )
+        hot_stats = sizes.filter(F.col("grp_n") > self.cfg.band_group_cap).agg(
+            F.count("*").alias("groups"),
+            F.coalesce(F.sum("new_n"), F.lit(0)).alias("rows"),
+        ).first()
+        if int(hot_stats["groups"]):
+            self.store.append_metric(
+                "incremental_hot_band_rows_starred",
+                int(hot_stats["rows"]),
+                batch_id=batch_id,
+                groups=int(hot_stats["groups"]),
+                cap=self.cfg.band_group_cap,
+            )
+        sizes.unpersist()
         new_bands.unpersist()
         prof_new.unpersist()
         # Serve the durable copy: parquet-backed, fault-tolerant, replayable.

@@ -199,3 +199,47 @@ def test_incremental_reads_prune_to_touched_buckets(spark, tmp_path):
     # adopted layout: a reopened instance inherits the pinned bucket count
     re = IncrementalDedup(spark, str(tmp_path / "pruned"), n_buckets=999)
     assert re.n_buckets == 64
+
+
+def test_incremental_hot_group_stars_stay_connected_across_batches(spark, tmp_path):
+    """A band group over band_group_cap diverts to LINEAR star edges (no
+    per-bkey quadratic join), the diverted rows are logged, and stars
+    from different batches stay in ONE transitive component even when a
+    later batch introduces a new global hub (bridge edge)."""
+    import json
+    import os
+
+    from simhash_spark.config import EngineConfig
+
+    inc = IncrementalDedup(spark, str(tmp_path), EngineConfig(band_group_cap=5))
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    # batch 1: ids c10..c17 (hub c10); batch 2: c00..c07 -> NEW global
+    # hub c00, which must bridge to the index-side hub c10.
+    m1 = inc.ingest(_clips(spark, [(f"c1{i}", boiler) for i in range(8)]), "h1")
+    m2 = inc.ingest(_clips(spark, [(f"c0{i}", boiler) for i in range(8)]), "h2")
+    edges = [(r.a, r.b) for r in m1.collect()] + [(r.a, r.b) for r in m2.collect()]
+    # linear, not quadratic: far fewer than C(16,2)=120 pairs
+    assert len(set(edges)) < 40
+    # single transitive component over all 16 clones
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots = {find(f"c1{i}") for i in range(8)} | {find(f"c0{i}") for i in range(8)}
+    assert len(roots) == 1
+    # every emitted pair is verified-identical text (exact tier)
+    assert all(r.method == "exact_text" or r.method for r in m1.collect())
+    # the diversion is logged, never silent
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(tmp_path, "_metrics.jsonl"))
+    ]
+    hot = [m for m in metrics if m["metric"] == "incremental_hot_band_rows_starred"]
+    assert hot and hot[0]["value"] > 0
