@@ -704,6 +704,30 @@ def q_verified_jaccard_pairs(spark, sf_dir):
     )
 
 
+_SPAN_CACHE: dict[str, str] = {}
+
+
+def _overlap_spans(spark, sf_dir) -> DataFrame:
+    """The overlap detector's spans for sf_dir, computed ONCE per
+    process: the two overlap-backed gate queries (overlap_span_pairs,
+    decontam_span_hits) share the detector run the way the
+    pipeline-backed queries share _shared_pipeline, instead of running
+    the fingerprint-index + suffix-array confirm twice on identical
+    input. bench.py pops this cache before each timed overlap run so
+    the benchmark still measures the full detector."""
+    path = _SPAN_CACHE.get(sf_dir)
+    if path is None:
+        from simhash_spark.operators.overlap import overlap_span_pairs
+
+        d = _t(spark, sf_dir, "documents")
+        spans = overlap_span_pairs(d)
+        path = os.path.join(_SIDE_DIR, f"spans-{len(_SPAN_CACHE)}.parquet")
+        spans.write.mode("overwrite").parquet(path)
+        release_persisted(spans)
+        _SPAN_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def q_overlap_span_pairs(spark, sf_dir):
     """ORACLE-CHECKED suffix-array detector leg (north rule + VERDICT r3
     #4a): pairs of documents sharing a verbatim >= 64-char run, LOCALIZED
@@ -717,17 +741,14 @@ def q_overlap_span_pairs(spark, sf_dir):
     the row and fails the compare. MAXIMALITY (longest) stays pinned by
     the difflib-oracled kernel pytest (tests/test_suffix.py)."""
     from simhash_spark.functions.signatures import normalize_udf
-    from simhash_spark.operators.overlap import overlap_span_pairs
 
     d = _t(spark, sf_dir, "documents")
-    spans = overlap_span_pairs(d)
+    spans = _overlap_spans(spark, sf_dir)
     nt = d.select(F.col("doc_id").alias("id"), normalize_udf("text").alias("nt"))
     audit = spans.join(
         nt.select(F.col("id").alias("a"), F.col("nt").alias("norm_a")), "a"
     ).join(nt.select(F.col("id").alias("b"), F.col("nt").alias("norm_b")), "b")
-    audit = _track(audit, spans)  # carry spans' persisted deps to the write
     audit.write.mode("overwrite").parquet(_OVERLAP_AUDIT_PATH)
-    release_persisted(audit)
     return spark.read.parquet(_OVERLAP_AUDIT_PATH).select(
         "a", "b", "overlap_len", "off_a", "off_b"
     )
@@ -1041,9 +1062,12 @@ def q_audio_spectral(spark, sf_dir):
     test in tests/test_audio.py), but every FEATURE is a pure function
     of the materialized band-power vector, and DuckDB re-derives all
     four from the same doubles (band centers are exact binary fractions
-    — (2k+1)·sr/256 — so both engines compute them exactly; the
-    remaining float sums differ only in association order, orders of
-    magnitude below the 4/6-dp rounding both sides apply). A wrong
+    — (2k+1)·sr/256 — so both engines compute them exactly; the kernel
+    derives tot and the rolloff threshold from the SEQUENTIAL cumsum,
+    the same left fold as DuckDB's list_sum, so the discrete rolloff
+    band pick is bit-identical across engines — no knife-edge; the
+    remaining continuous sums differ only in association order, orders
+    of magnitude below the 4/6-dp rounding both sides apply). A wrong
     band-center convention, rolloff cumsum off-by-one, or flatness
     floor drift fails the hash compare."""
     from simhash_spark.functions.audio import spectral_features
@@ -1084,10 +1108,9 @@ def q_decontam_span_hits(spark, sf_dir):
     over the same rows — a wrong offset, a mislabeled source, or a
     flipped orientation fails the hash compare."""
     from simhash_spark.functions.signatures import normalize_udf
-    from simhash_spark.operators.overlap import overlap_span_pairs
 
     d = _t(spark, sf_dir, "documents")
-    spans = overlap_span_pairs(d)
+    spans = _overlap_spans(spark, sf_dir)
     meta = d.select(
         F.col("doc_id").alias("id"),
         "source",
@@ -1110,9 +1133,7 @@ def q_decontam_span_hits(spark, sf_dir):
             "b",
         )
     )
-    audit = _track(audit, spans)
     audit.write.mode("overwrite").parquet(_DECONTAM_SPAN_PATH)
-    release_persisted(audit)
     side = spark.read.parquet(_DECONTAM_SPAN_PATH)
     bench = list(_DECONTAM_BENCH_SRCS)
     a_bench = F.col("src_a").isin(bench) & ~F.col("src_b").isin(bench)

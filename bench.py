@@ -6,11 +6,13 @@ signature+LSH throughput on a deterministic synthetic clips corpus
 (clips/sec — the north-rule throughput metric).
 
 Measurement protocol (VERDICT r3 #5 — the r3 driver reading was a 3.2x
-cold/contended artifact): every headline query gets ONE untimed warm-up
-pass (JIT + Python-worker pool + page cache), then the reported number is
-the MEDIAN OF 3 timed runs; the clips stage warms the UDF path on a small
-corpus before the timed full-size run, and BENCH_CLIPS_N defaults to
-200k so throughput is not startup-dominated.
+cold/contended artifact): every headline query gets BENCH_WARMUPS
+untimed passes (default 2: JIT + Python-worker pool + page cache — one
+pass measurably leaves the heavier join/UDF shapes mid-JIT), then the
+reported number is the MEDIAN OF 3 timed runs; the clips stage runs
+FIRST on a young JVM (heap/GC residue from the suite measurably
+depresses it) with its own small-corpus warm-up, and BENCH_CLIPS_N
+defaults to 200k so throughput is not startup-dominated.
 
 Extra env knobs:
   SPARK_GRAFT_SF_DIR     testdata dir (default /root/testdata/sf0.1)
@@ -149,6 +151,10 @@ def main() -> None:
             ckpt = E._PIPE_CKPTS.pop(SF_DIR, None)
             if ckpt:
                 shutil.rmtree(ckpt, ignore_errors=True)
+        if name == "overlap_span_pairs":
+            # same idea for the memoized overlap spans: every timed run
+            # measures the full detector, not a parquet re-read.
+            E._SPAN_CACHE.pop(SF_DIR, None)
         t0 = time.time()
         with releasing(qs[name](spark, SF_DIR)) as df:
             df.count()  # materialize the full plan

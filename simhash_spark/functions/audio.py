@@ -141,15 +141,21 @@ def _spectral_kernel(sr: int, s: np.ndarray, n_bands: int):
         (freqs / ((sr / 2.0) / n_bands)).astype(np.int64), n_bands - 1
     )
     bands = np.bincount(idx, weights=p, minlength=n_bands)[:n_bands]
-    tot = float(bands.sum())
+    # tot and the rolloff threshold come from the SEQUENTIAL cumsum, not
+    # np.sum (pairwise): DuckDB's list_sum is the same left fold, so the
+    # oracle's prefix sums and total are BIT-IDENTICAL to these and the
+    # discrete `cumsum >= 0.85*tot` band pick can never straddle a ulp
+    # (probed: 200 random 64-band vectors, every prefix bit-equal).
+    cs = np.cumsum(bands)
+    tot = float(cs[-1])
     if tot == 0.0:
         return bands.tolist(), 0.0, 0.0, 0.0, 0
     centers = (np.arange(n_bands) + 0.5) * ((sr / 2.0) / n_bands)
     centroid = float(np.dot(centers, bands) / tot)
-    k_roll = int(np.argmax(np.cumsum(bands) >= 0.85 * tot))
+    k_roll = int(np.argmax(cs >= 0.85 * tot))
     rolloff = float(centers[k_roll])
     flat = float(
-        np.exp(np.log(bands + 1e-12).mean()) / (bands.mean() + 1e-12)
+        np.exp(np.log(bands + 1e-12).mean()) / (tot / n_bands + 1e-12)
     )
     dom = int(np.argmax(bands))
     return bands.tolist(), centroid, rolloff, flat, dom

@@ -192,16 +192,24 @@ def _wrap_pows(base: np.uint64, n: int) -> np.ndarray:
     return pows
 
 
+_SCREEN_CHUNK_CP = 600_000  # flat codepoints per screen chunk (~40 MB peak)
+
+
 def shares_gram_batch(norms_a, norms_b, L: int) -> np.ndarray:
     """Boolean per pair: does (a, b) share an L-char substring?
 
-    One flat pass over the whole batch — no per-pair numpy calls: every
-    L-window of every string gets a CANONICAL polynomial hash
-    ``sum c[i+j] * Binv^j  (mod 2^64)`` computed from one wrapping
-    cumsum (the position factor B^i cancels the global-prefix term, so
-    window hashes are position- and segment-independent; windows
-    crossing a string boundary are masked out), then one lexsort by
-    (pair, hash, side) finds pairs with the same hash on both sides.
+    One flat pass per ~_SCREEN_CHUNK_CP-codepoint chunk of pairs — no
+    per-pair numpy calls: every L-window of every string gets a
+    CANONICAL polynomial hash ``sum c[i+j] * Binv^j  (mod 2^64)``
+    computed from one wrapping cumsum (the position factor B^i cancels
+    the global-prefix term, so window hashes are position- and
+    segment-independent; windows crossing a string boundary are masked
+    out), then one lexsort by (pair, hash, side) finds pairs with the
+    same hash on both sides.  The chunking bounds peak memory (the
+    kernel holds ~8 flat uint64 temporaries plus lexsort workspace —
+    unchunked, a 10k-pair Arrow batch of multi-KB transcripts would be
+    multi-GB per Python worker; same discipline as
+    reference._chunk_bounds).
 
     EXACTNESS: equal windows always hash equal — no false negatives,
     so ``LCS(a,b) >= L  =>  True``.  A false positive needs a mod-2^64
@@ -213,6 +221,31 @@ def shares_gram_batch(norms_a, norms_b, L: int) -> np.ndarray:
     hit = np.zeros(n_pairs, dtype=bool)
     if n_pairs == 0:
         return hit
+    a_at = norms_a.iloc if hasattr(norms_a, "iloc") else norms_a
+    b_at = norms_b.iloc if hasattr(norms_b, "iloc") else norms_b
+    # greedy pair chunks bounded by flat codepoint volume
+    start, cp = 0, 0
+    for k in range(n_pairs):
+        cp += len(a_at[k] or "") + len(b_at[k] or "")
+        if cp >= _SCREEN_CHUNK_CP and k + 1 > start:
+            hit[start : k + 1] = _shares_gram_chunk(
+                [a_at[i] for i in range(start, k + 1)],
+                [b_at[i] for i in range(start, k + 1)],
+                L,
+            )
+            start, cp = k + 1, 0
+    if start < n_pairs:
+        hit[start:] = _shares_gram_chunk(
+            [a_at[i] for i in range(start, n_pairs)],
+            [b_at[i] for i in range(start, n_pairs)],
+            L,
+        )
+    return hit
+
+
+def _shares_gram_chunk(norms_a, norms_b, L: int) -> np.ndarray:
+    n_pairs = len(norms_a)
+    hit = np.zeros(n_pairs, dtype=bool)
     strs = [(s or "") for s in norms_a] + [(s or "") for s in norms_b]
     lens = np.array([len(s) for s in strs], dtype=np.int64)
     if (lens[:n_pairs] < L).all() or (lens[n_pairs:] < L).all():
