@@ -193,6 +193,7 @@ def candidate_pairs(
     gram_hits_min: int = 2,
     pair_gen: str = "join",
     sizing: str = "window",
+    stats: str = "auto",
 ) -> DataFrame:
     """bands -> candidate_pairs(a, b, det) with a < b, deduplicated.
 
@@ -246,6 +247,25 @@ def candidate_pairs(
              is a SortMergeJoin, i.e. a full sort of the engine's
              biggest table plus a sort of the sizes, plus the separate
              hash aggregation that produced them.
+    ``stats`` picks how metrics_sink's band accounting is computed
+    (r6 optimization — guide §1.2 "don't compute things you throw away"):
+      'deferred' — the hot-band star-diversion accounting
+             (lsh_hot_band_groups / lsh_hot_band_rows_starred — the
+             no-silent-truncation contract) rides the caller's
+             materialization pass for FREE via an Observation on the
+             star branch (each hot group emits grp_n-1 edges carrying
+             grp_n, so #groups = sum 1/(grp_n-1) and #rows = #groups +
+             #edges — exact integers after rounding). No separate job.
+             The per-detector band_stats table (rows/distinct hashes
+             per det) is NOT emitted in this mode: computing it needs
+             its own pass over the band table (measured ~1.2 s/run at
+             sf0.1, a full second pass at 2M rows).
+      'eager' — the legacy shape: a groupBy(bkey) aggregation over the
+             band table collected BEFORE pair generation, emitting the
+             full per-detector band_stats table plus the hot accounting.
+      'auto' — 'deferred' under 'window' sizing (the default pipeline
+             shape), 'eager' under 'join' sizing (where the sizes
+             aggregation is part of the plan anyway).
     All modes emit the identical (a < b) pair multiset — pytest-pinned.
     Measured at 2M rows (BENCH/cp-stage-n2000000.json,
     BENCH/pipeline-ab-pairgen-t32-n2000000.json): at 8 cores 'join' wins
@@ -266,9 +286,13 @@ def candidate_pairs(
     # HashPartitioning(_KEYS, n_part) and reuses this single shuffle.
     bands = bands.repartition(n_part, *_KEYS)
 
+    if stats == "auto":
+        stats = "deferred" if sizing == "window" else "eager"
+
     # One partial-aggregable pass sizes every band group and picks its hub
     # (map-side combine keeps hot keys linear — one row per key per mapper).
-    # Lazy: in 'window' sizing this is evaluated ONLY for the metrics block.
+    # Lazy: in 'window' sizing this is evaluated ONLY for the eager-stats
+    # block (the deferred default never computes it).
     counts = bands.groupBy(*_KEYS).agg(
         F.count("*").alias("grp_n"), F.min(rid).alias("hub")
     )
@@ -310,7 +334,7 @@ def candidate_pairs(
             F.col("grp_n") * (F.col("grp_n") - 1) / 2 > max_pairs_per_group
         )
 
-    if metrics_sink is not None:
+    if metrics_sink is not None and stats == "eager":
         # one pass over the per-key sizes yields band stats AND hot-band
         # diagnostics (exact distinct-hash counts — no extra bands scan).
         is_hot = over_cap & (det_id_col("bkey") != 0)
@@ -386,15 +410,32 @@ def candidate_pairs(
     # linear edges to the group's min id. For 'exact' this is lossless
     # (identical text is transitively dup); for over-cap groups it is the
     # logged approximation that avoids O(n^2).
-    pairs_hot = (
-        annotated.filter(is_star)
-        .where(F.col(rid) != F.col("hub"))
-        .select(
-            F.col("hub").alias("a"),
-            F.col(rid).alias("b"),
-            det_id_col("bkey").alias("det_id"),
-            F.lit(1).alias("starred"),
+    star_edges = annotated.filter(is_star).where(F.col(rid) != F.col("hub"))
+    hot_obs = None
+    if metrics_sink is not None and stats == "deferred":
+        # free hot-band accounting (docstring 'deferred'): each over-cap
+        # group emits grp_n-1 star edges, every edge carrying grp_n, so
+        # #hot_groups = sum 1/(grp_n-1) and #hot_rows = #groups + #edges
+        # — observed on the single-consumer star branch (above the
+        # annotated cache, so cache-population races can't double-fire)
+        # and flushed by whoever materializes the pairs
+        # (CheckpointStore.write / util.flush_deferred_metrics).
+        from pyspark.sql import Observation
+
+        is_hot_row = det_id_col("bkey") != 0  # non-exact stars ARE over-cap
+        hot_obs = Observation()
+        star_edges = star_edges.observe(
+            hot_obs,
+            F.sum(F.when(is_hot_row, 1).otherwise(0)).alias("hot_edges"),
+            F.sum(
+                F.when(is_hot_row, F.lit(1.0) / (F.col("grp_n") - 1)).otherwise(0.0)
+            ).alias("hot_grp_frac"),
         )
+    pairs_hot = star_edges.select(
+        F.col("hub").alias("a"),
+        F.col(rid).alias("b"),
+        det_id_col("bkey").alias("det_id"),
+        F.lit(1).alias("starred"),
     )
 
     pairs = pairs_cold.unionByName(pairs_hot)
@@ -456,6 +497,22 @@ def candidate_pairs(
             )
         else:
             pairs = pairs.filter(can_verify)
+    if hot_obs is not None:
+        from simhash_spark.util import defer_metric
+
+        def _emit_hot(_v, obs=hot_obs):
+            m = obs.get
+            groups = int(round(m["hot_grp_frac"] or 0.0))
+            edges = int(m["hot_edges"] or 0)
+            metrics_sink("lsh_hot_band_groups", groups, cap=band_group_cap)
+            metrics_sink(
+                "lsh_hot_band_rows_starred",
+                groups + edges,
+                band_group_cap=band_group_cap,
+                max_pairs_per_group=max_pairs_per_group,
+            )
+
+        pairs = defer_metric(pairs, hot_obs, "hot_edges", _emit_hot)
     # `annotated` stays cached until the caller materializes `pairs`
     # (CheckpointStore.write releases it — no executor-storage leak in a
     # long-lived driver).

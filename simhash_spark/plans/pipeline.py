@@ -148,12 +148,18 @@ class DedupPipeline:
         verified = store.read("verified_pairs")
 
         if not store.is_committed("clusters"):
+            # edge count from the committed manifest (no counting job):
+            # lets CC take its driver fast path when the verified graph
+            # is bounded — identical labels, none of the per-round loop
+            # overhead (operators/cc.py, r6).
+            ver_manifest = store.read_manifest("verified_pairs") or {}
             cc = connected_components(
                 verified,
                 max_iters=cfg.cc_max_iters,
                 metrics_sink=sink,
                 store=store,  # durable mid-loop checkpoints + kill/resume
                 checkpoint_every=cfg.cc_checkpoint_every,
+                n_edges_hint=ver_manifest.get("rows"),
             )
             clusters = assign_clusters(clips.select("clip_id"), cc)
             store.write("clusters", clusters)

@@ -70,19 +70,46 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
 
 
 def stage_gc_enabled(master: str) -> bool:
-    """Whether the between-stage JVM breather runs at stage commit.
+    """Whether the between-stage JVM breather MAY run at stage commit.
 
     Default: ON for local masters only — through py4j ``System.gc()``
     reaches just the driver JVM, which in local mode IS the executor
     (where the measured win lives) but on a real cluster is only the
     driver (executors have their own collectors; the call would be a
     pointless driver pause). ``SPARK_GRAFT_STAGE_GC=1/0`` overrides in
-    either direction.
+    either direction. Even when enabled, the breather is PRESSURE-GATED
+    at the call site (``_stage_gc``): a full GC after a stage that only
+    churned tens of MB costs more than it saves (measured ~0.3 s per
+    commit at sf0.1 — r6), while the 2M-row win it exists for
+    (BENCH/pipeline-ab-stagegc-t8-n2000000.json) happens when the heap
+    is actually loaded.
     """
     gc_env = os.environ.get("SPARK_GRAFT_STAGE_GC")
     if gc_env is not None:
         return gc_env not in ("", "0")
     return master.startswith("local")
+
+
+#: Used-heap fraction (of -Xmx) above which the stage-boundary breather
+#: fires. Below it the GC is skipped: a lightly-loaded heap has nothing
+#: worth compacting and the System.gc() pause is pure overhead. The 2M
+#: churn the breather exists for runs the heap far past this.
+STAGE_GC_MIN_HEAP_FRAC = float(os.environ.get("SPARK_GRAFT_STAGE_GC_FRAC", "0.3"))
+
+
+def _stage_gc(spark: SparkSession) -> None:
+    """Pressure-gated between-stage System.gc() (see stage_gc_enabled).
+    An explicit ``SPARK_GRAFT_STAGE_GC=1`` skips the pressure gate so A/B
+    replays of the always-on behavior stay reproducible."""
+    try:
+        if os.environ.get("SPARK_GRAFT_STAGE_GC") not in ("1",):
+            rt = spark.sparkContext._jvm.Runtime.getRuntime()
+            used = rt.totalMemory() - rt.freeMemory()
+            if used < STAGE_GC_MIN_HEAP_FRAC * rt.maxMemory():
+                return
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # non-JVM test doubles
+        pass
 
 
 class CheckpointStore:
@@ -215,10 +242,7 @@ class CheckpointStore:
         # the driver while executors (separate JVMs with their own
         # collectors) are unaffected. SPARK_GRAFT_STAGE_GC=1/0 overrides.
         if stage_gc_enabled(self.spark.sparkContext.master):
-            try:
-                self.spark.sparkContext._jvm.System.gc()
-            except Exception:  # non-JVM test doubles
-                pass
+            _stage_gc(self.spark)
         self.append_lineage(
             {
                 "event": "stage_commit",

@@ -72,6 +72,12 @@ def test_hot_band_cap_stars_and_logs(spark):
         metrics_sink=lambda n, v, **t: metrics.append((n, v)),
     )
     n_pairs = pairs.count()
+    # hot accounting rides the caller's own pass (deferred Observation);
+    # a direct consumer flushes it explicitly (CheckpointStore.write
+    # does this automatically).
+    from simhash_spark.util import flush_deferred_metrics
+
+    flush_deferred_metrics(pairs)
     # cap=5 on 30 near-identical rows: no O(n^2) blowup (<< 435 full pairs
     # per band x 30+ shared bands), and drops were logged.
     assert n_pairs < 500
@@ -87,12 +93,16 @@ def test_max_pairs_per_group_stars_and_logs(spark):
     norm, sigs = _norm_sig(spark, rows)
     bands = build_bands(norm, sigs)
     metrics = []
-    capped = candidate_pairs(
+    capped_df = candidate_pairs(
         bands,
         band_group_cap=10_000,          # row cap NOT hit
         max_pairs_per_group=50,         # pair cap IS hit
         metrics_sink=lambda n, v, **t: metrics.append((n, v)),
-    ).collect()
+    )
+    capped = capped_df.collect()
+    from simhash_spark.util import flush_deferred_metrics
+
+    flush_deferred_metrics(capped_df)
     uncapped = candidate_pairs(bands, band_group_cap=10_000).count()
     assert len(capped) < uncapped
     assert any(p.starred == 1 for p in capped)
@@ -292,3 +302,96 @@ def test_cc_cleanup_spares_concurrent_caches(spark, tmp_path):
     assert bystander.storageLevel.useMemory  # still marked persistent
     assert side_ckpt.count() == 50  # localCheckpoint data still readable
     bystander.unpersist()
+
+
+def test_hot_stats_deferred_matches_eager(spark):
+    """r6: the deferred (Observation-riding) hot-band accounting must
+    report the same lsh_hot_band_groups / lsh_hot_band_rows_starred
+    values as the legacy eager collect."""
+    from simhash_spark.util import flush_deferred_metrics
+
+    rows = [(f"h{i:03d}", f"shared prefix words number{i}") for i in range(30)]
+    norm, sigs = _norm_sig(spark, rows)
+    bands = build_bands(norm, sigs)
+
+    def hot_metrics(stats):
+        metrics = {}
+        df = candidate_pairs(
+            bands,
+            band_group_cap=5,
+            metrics_sink=lambda n, v, **t: metrics.setdefault(n, v),
+            stats=stats,
+        )
+        df.count()
+        flush_deferred_metrics(df)
+        return (
+            metrics["lsh_hot_band_groups"],
+            metrics["lsh_hot_band_rows_starred"],
+        )
+
+    eager = hot_metrics("eager")
+    deferred = hot_metrics("deferred")
+    assert eager == deferred
+    assert eager[0] > 0 and eager[1] > 0
+
+
+def test_cc_driver_fastpath_matches_loop(spark, tmp_path):
+    """r6: the n_edges_hint-gated driver union-find must produce labels
+    identical to the iterative loop, including min-string-id semantics
+    and the durable store commit."""
+    from simhash_spark.sources.tableio import CheckpointStore
+
+    edge_rows = (
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("m", "n"), ("n", "o"), ("m", "o")]
+        + [(f"v{i:02d}", f"v{i+1:02d}") for i in range(12)]
+    )
+    edges = spark.createDataFrame(edge_rows, "a string, b string")
+    loop = {r.clip_id: r.cluster_id for r in connected_components(edges).collect()}
+    fast = {
+        r.clip_id: r.cluster_id
+        for r in connected_components(edges, n_edges_hint=len(edge_rows)).collect()
+    }
+    assert fast == loop
+
+    # store-backed: labels committed durably, readable after the run
+    store = CheckpointStore(spark, str(tmp_path / "ccfast"))
+    metrics = []
+    out = connected_components(
+        edges,
+        store=store,
+        n_edges_hint=len(edge_rows),
+        metrics_sink=lambda n, v, **t: metrics.append((n, v)),
+    )
+    assert {r.clip_id: r.cluster_id for r in out.collect()} == loop
+    assert store.is_committed("cc_labels")
+    assert any(n == "cc_fastpath_edges" for n, _ in metrics)
+
+    # resume: a committed (partial) labels table is folded in exactly
+    store2 = CheckpointStore(spark, str(tmp_path / "ccfast2"))
+    partial = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "id string, comp string"
+    )
+    store2.write("cc_labels", partial)
+    metrics2 = []
+    out2 = connected_components(
+        edges,
+        store=store2,
+        n_edges_hint=len(edge_rows),
+        metrics_sink=lambda n, v, **t: metrics2.append((n, v)),
+    )
+    assert {r.clip_id: r.cluster_id for r in out2.collect()} == loop
+    assert ("cc_resume", 1) in metrics2
+
+    # over-ceiling hint falls back to the loop (no driver collect)
+    import simhash_spark.operators.cc as cc_mod
+
+    old = cc_mod.CC_DRIVER_MAX_EDGES
+    try:
+        cc_mod.CC_DRIVER_MAX_EDGES = 3
+        out3 = {
+            r.clip_id: r.cluster_id
+            for r in connected_components(edges, n_edges_hint=len(edge_rows)).collect()
+        }
+        assert out3 == loop
+    finally:
+        cc_mod.CC_DRIVER_MAX_EDGES = old

@@ -90,4 +90,7 @@ def test_lineage_and_metrics_written(pipeline_run):
     assert all(e["files"] for e in events if e["event"] == "stage_commit")
     metrics = pipe.store.metrics()
     names = {m["metric"] for m in metrics}
-    assert {"lsh_hot_band_groups", "cc_changed", "pipeline_wall_sec"} <= names
+    assert {"lsh_hot_band_groups", "pipeline_wall_sec"} <= names
+    # CC reports its work either way: per-round convergence metrics from
+    # the iterative loop, or the bounded-graph driver fast path (r6).
+    assert {"cc_changed", "cc_fastpath_edges"} & names
