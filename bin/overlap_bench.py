@@ -93,6 +93,9 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
     n_found = found.count()
+    from simhash_spark.util import flush_deferred_metrics
+
+    flush_deferred_metrics(spans)  # hot-gram drop accounting (deferred, r6)
     release_persisted(spans)
     wall = time.time() - t0
 

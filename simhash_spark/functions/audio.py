@@ -326,15 +326,24 @@ def audio_dup_candidates(
     """
     fps = audio_fingerprints(clips).filter(F.size("fps") >= 2).persist()
     len_bkt = F.floor(F.size("fps") / F.lit(int(len_bucket_frames)))
+    # per-clip key dedupe via array_distinct BEFORE the explodes (r6):
+    # exact replacement for the old dropDuplicates([clip_id, dbkt, key])
+    # — the dbkt explode replicates the WHOLE key set per probe bucket,
+    # so per-row distinct == per-(clip, dbkt) distinct — and it runs
+    # map-side instead of paying a 3-column shuffle. len_bkt reads the
+    # ORIGINAL fps length (the duration proxy) before the dedupe.
     keys = fps.select(
         "clip_id",
         F.explode(F.array(len_bkt, len_bkt - 1)).alias("dbkt"),
-        "fps",
-    ).select(
-        "clip_id", "dbkt", F.explode("fps").alias("key")
-    ).dropDuplicates(["clip_id", "dbkt", "key"])
+        F.array_distinct("fps").alias("fpsd"),
+    ).select("clip_id", "dbkt", F.explode("fpsd").alias("key"))
     grp = ["dbkt", "key"]
-    sizes = keys.groupBy(*grp).agg(F.count("*").alias("grp_n")).persist()
+    sizes = keys.groupBy(*grp).agg(F.count("*").alias("grp_n"))
+    if metrics_sink is not None:
+        # two consumers (the hot-drop accounting below + the cold join)
+        # only exist when a sink is attached; without one the persist
+        # would just add a cache-write pass to a single-consumer frame.
+        sizes = sizes.persist()
     if metrics_sink is not None:
         over = sizes.filter(F.col("grp_n") > key_group_cap).agg(
             F.count("*").alias("groups"), F.coalesce(F.sum("grp_n"), F.lit(0)).alias("rows")
@@ -362,7 +371,9 @@ def audio_dup_candidates(
     out = cand.join(fa, "a").join(fb, "b").select("a", "b", "fps_a", "fps_b")
     from simhash_spark.util import track_persisted
 
-    return track_persisted(out, [fps, sizes])
+    return track_persisted(
+        out, [fps, sizes] if metrics_sink is not None else [fps]
+    )
 
 
 def ber_verify(cand, ber_max: float = 0.25):

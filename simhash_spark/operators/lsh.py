@@ -501,9 +501,16 @@ def candidate_pairs(
         from simhash_spark.util import defer_metric
 
         def _emit_hot(_v, obs=hot_obs):
-            m = obs.get
-            groups = int(round(m["hot_grp_frac"] or 0.0))
-            edges = int(m["hot_edges"] or 0)
+            try:
+                m = obs.get
+                groups = int(round(m["hot_grp_frac"] or 0.0))
+                edges = int(m["hot_edges"] or 0)
+            except Exception:
+                # observation pruned => the star branch was runtime-empty,
+                # and an empty star branch means no over-cap group exists
+                # (every hot group has >= 2 rows, so it always emits at
+                # least one star edge): 0 is the exact answer.
+                groups = edges = 0
             metrics_sink("lsh_hot_band_groups", groups, cap=band_group_cap)
             metrics_sink(
                 "lsh_hot_band_rows_starred",

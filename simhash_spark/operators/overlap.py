@@ -114,9 +114,14 @@ def overlap_span_pairs(
     gram_cap: int = 2000,
     partitions: int | None = None,
     metrics_sink=None,
+    keep_norms: bool = False,
 ) -> DataFrame:
     """(a, b, overlap_len, off_a, off_b) with a < b and overlap_len >=
-    ``min_len``; offsets index the NORMALIZED texts.
+    ``min_len``; offsets index the NORMALIZED texts. ``keep_norms=True``
+    additionally carries both normalized texts (norm_a, norm_b) in the
+    output — they are already joined for the confirm kernel, so callers
+    that need them (the span-audit gate queries) avoid re-normalizing
+    the corpus and re-joining (r6).
 
     Recall of the candidate index is EXACT (winnowing guarantee,
     ``fingerprints_udf_for``): every pair sharing a >= ``min_len``-char
@@ -163,17 +168,24 @@ def overlap_span_pairs(
     )
 
     # Size every gram group once (map-side combinable); drop singletons
-    # (no pairs) and over-cap hot grams (logged, not silent).
+    # (no pairs) and over-cap hot grams (logged, not silent). The drop
+    # accounting rides this same pass via an Observation (r6 — the
+    # eager .first() was its own Spark job, ~0.2 s/run at sf0.1):
+    # ``counts`` has a single consumer (the keep filter), so the metric
+    # fires exactly once, flushed by whoever materializes the result
+    # (util.flush_deferred_metrics — _overlap_spans and the tests do).
     counts = grams.groupBy("gram").agg(F.count("*").alias("grp_n"))
+    hot_obs = None
     if metrics_sink is not None:
-        hot = counts.filter(F.col("grp_n") > gram_cap).agg(
-            F.count("*").alias("groups"), F.coalesce(F.sum("grp_n"), F.lit(0)).alias("rows")
-        ).first()
-        metrics_sink(
-            "overlap_hot_grams_dropped",
-            int(hot["groups"]),
-            rows=int(hot["rows"]),
-            cap=gram_cap,
+        from pyspark.sql import Observation
+
+        hot_obs = Observation()
+        counts = counts.observe(
+            hot_obs,
+            F.sum(F.when(F.col("grp_n") > gram_cap, 1).otherwise(0)).alias("groups"),
+            F.sum(
+                F.when(F.col("grp_n") > gram_cap, F.col("grp_n")).otherwise(0)
+            ).alias("rows"),
         )
     keep = counts.filter(F.col("grp_n").between(2, gram_cap)).select("gram")
 
@@ -206,9 +218,43 @@ def overlap_span_pairs(
     ).join(texts.select(F.col("id").alias("b"), F.col("norm_text").alias("norm_b")), "b")
 
     span: Column = lcs_span_udf_for(min_len)("norm_a", "norm_b")
+    extra = ["norm_a", "norm_b"] if keep_norms else []
     out = (
         with_texts.withColumn("span", span)
-        .select("a", "b", "gram_hits", "span.overlap_len", "span.off_a", "span.off_b")
+        .select(
+            "a", "b", "gram_hits",
+            "span.overlap_len", "span.off_a", "span.off_b", *extra,
+        )
         .filter(F.col("overlap_len") >= min_len)
     )
+    if hot_obs is not None:
+        from ..util import defer_metric
+
+        def _emit_hot(_v, obs=hot_obs):
+            try:
+                m = obs.get
+                groups, rows = int(m["groups"] or 0), int(m["rows"] or 0)
+            except Exception:
+                # corner case: when the kept side comes up EMPTY (every
+                # gram hot), AQE's empty-relation propagation prunes the
+                # CollectMetrics node and the observation never fires —
+                # fall back to the eager aggregation (rare, and exactly
+                # the case where the drop MUST be reported). grams is
+                # still persisted at flush time, so this is a cache scan.
+                hot = (
+                    grams.groupBy("gram")
+                    .agg(F.count("*").alias("grp_n"))
+                    .filter(F.col("grp_n") > gram_cap)
+                    .agg(
+                        F.count("*").alias("groups"),
+                        F.coalesce(F.sum("grp_n"), F.lit(0)).alias("rows"),
+                    )
+                    .first()
+                )
+                groups, rows = int(hot["groups"]), int(hot["rows"])
+            metrics_sink(
+                "overlap_hot_grams_dropped", groups, rows=rows, cap=gram_cap
+            )
+
+        out = defer_metric(out, hot_obs, "groups", _emit_hot)
     return track_persisted(out, [norm, grams, kept])

@@ -36,9 +36,20 @@ def defer_metric(df: DataFrame, observation, key: str, emit) -> DataFrame:
 
 def flush_deferred_metrics(df: DataFrame) -> None:
     """Emit every metric recorded by ``defer_metric``. Call ONLY after an
-    action has materialized ``df`` (Observation.get blocks otherwise)."""
+    action has materialized ``df`` (Observation.get blocks otherwise).
+
+    If the observed plan node was PRUNED at runtime (AQE empty-relation
+    propagation removes CollectMetrics when a join side comes up empty),
+    Observation.get raises — the emit callback then receives ``None``
+    and must fall back to whatever accounting is correct for its metric
+    (usually 0 for an empty input; operators whose pruned case is
+    non-zero recompute eagerly, e.g. operators/overlap.py)."""
     for obs, key, emit in getattr(df, "_deferred_metrics", []):
-        emit(obs.get[key])
+        try:
+            value = obs.get[key]
+        except Exception:
+            value = None
+        emit(value)
     df._deferred_metrics = []
 
 

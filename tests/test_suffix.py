@@ -119,9 +119,15 @@ def test_overlap_hot_gram_dropped_with_metrics(spark):
     def sink(metric, value, **kw):
         events.append((metric, value, kw))
 
-    out = overlap_span_pairs(
+    out_df = overlap_span_pairs(
         docs, min_len=64, gram_cap=10, partitions=4, metrics_sink=sink
-    ).collect()
+    )
+    out = out_df.collect()
+    # drop accounting rides the collect pass (deferred Observation, r6);
+    # direct consumers flush explicitly.
+    from simhash_spark.util import flush_deferred_metrics
+
+    flush_deferred_metrics(out_df)
     assert out == []
     (name, groups, kw), = [e for e in events if e[0] == "overlap_hot_grams_dropped"]
     assert groups > 0 and kw["rows"] >= groups * 30 and kw["cap"] == 10
