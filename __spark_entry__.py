@@ -259,23 +259,29 @@ def q_jaccard_neardup_pairs(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )
-    exploded = base.select("doc_id", "lang", "toks", F.explode("toks").alias("tok")).join(
+    # project BEFORE the tok exchange (r6, guide §2.3): the exploded frame
+    # used to carry the FULL toks array on every exploded token row — the
+    # (tok) df-join and the (doc_id) groupBy each shuffled O(tokens x
+    # array) bytes. The rarity-sorted collect_list is a PERMUTATION of the
+    # distinct token set, so it serves as the pair-verify array too
+    # (array_intersect/size are order-independent — bit-identical jaccard)
+    # and first(toks) disappears along with the array payload.
+    exploded = base.select("doc_id", "lang", F.explode("toks").alias("tok")).join(
         tok_df, "tok"
     )
     prefix_len = F.floor(F.size("toks") * F.lit(1.0 - 0.8)).cast("int") + F.lit(1)
     # PERSIST ordered (r6): the prefix self-join reads it twice (sides a
     # and b) and the jaccard verify re-attaches both token arrays —
     # uncached, the whole df-join + groupBy pipeline above ran once per
-    # consumer. toks_rare is projected away before caching.
+    # consumer.
     ordered = (
         exploded.groupBy("doc_id", "lang")
         .agg(
-            F.first("toks").alias("toks"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
-            ).alias("toks_rare"),
+            ).alias("toks"),
         )
-        .withColumn("pref", F.slice("toks_rare", 1, prefix_len))
+        .withColumn("pref", F.slice("toks", 1, prefix_len))
         .select("doc_id", "lang", "toks", "pref")
         .persist()
     )

@@ -338,16 +338,19 @@ def audio_dup_candidates(
         F.array_distinct("fps").alias("fpsd"),
     ).select("clip_id", "dbkt", F.explode("fpsd").alias("key"))
     grp = ["dbkt", "key"]
-    sizes = keys.groupBy(*grp).agg(F.count("*").alias("grp_n"))
     if metrics_sink is not None:
-        # two consumers (the hot-drop accounting below + the cold join)
-        # only exist when a sink is attached; without one the persist
-        # would just add a cache-write pass to a single-consumer frame.
-        sizes = sizes.persist()
-    if metrics_sink is not None:
-        over = sizes.filter(F.col("grp_n") > key_group_cap).agg(
-            F.count("*").alias("groups"), F.coalesce(F.sum("grp_n"), F.lit(0)).alias("rows")
-        ).first()
+        # hot-drop accounting needs the per-group sizes eagerly (the
+        # no-silent-truncation rule); one partial-aggregable pass.
+        over = (
+            keys.groupBy(*grp)
+            .agg(F.count("*").alias("grp_n"))
+            .filter(F.col("grp_n") > key_group_cap)
+            .agg(
+                F.count("*").alias("groups"),
+                F.coalesce(F.sum("grp_n"), F.lit(0)).alias("rows"),
+            )
+            .first()
+        )
         metrics_sink(
             "audio_hot_key_groups_dropped",
             int(over["groups"]),
@@ -355,7 +358,19 @@ def audio_dup_candidates(
             cap=key_group_cap,
             len_bucket_frames=len_bucket_frames,
         )
-    cold = keys.join(sizes.filter(F.col("grp_n").between(2, key_group_cap)), grp)
+    # group sizing via count() OVER (PARTITION BY dbkt, key) — the lsh.py
+    # 'window' idiom (r6, guide §2.4): one exchange + sorted pass annotates
+    # each key row in place, replacing the groupBy + equi-join shape (two
+    # consumers of the keys frame and an extra shuffle). The window's
+    # (dbkt, key) hash partitioning and sort order are exactly what the
+    # pairwise self-join below needs, so the join adds no exchange and no
+    # re-sort.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*grp)
+    cold = keys.withColumn("grp_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("grp_n").between(2, key_group_cap)
+    )
     a = cold.select(*grp, F.col("clip_id").alias("a"))
     b = cold.select(*grp, F.col("clip_id").alias("b"))
     cand = (
@@ -371,9 +386,7 @@ def audio_dup_candidates(
     out = cand.join(fa, "a").join(fb, "b").select("a", "b", "fps_a", "fps_b")
     from simhash_spark.util import track_persisted
 
-    return track_persisted(
-        out, [fps, sizes] if metrics_sink is not None else [fps]
-    )
+    return track_persisted(out, [fps])
 
 
 def ber_verify(cand, ber_max: float = 0.25):

@@ -265,6 +265,17 @@ def verify_pairs(
                 "jaccard",
             )
         )
+    # COALESCE the output to the session's partition sizing (r6, guide
+    # §6 "coalesce on write"): the four-branch union (+ map-back joins)
+    # leaves up to ~8x shuffle-partitions output partitions when AQE
+    # broadcasts the small joins (no post-join exchange to coalesce), so
+    # the committed stage wrote that many near-empty files and paid the
+    # same count of write-task commits. coalesce is a NARROW dep — no
+    # shuffle, branch partitions are stacked into n_part write tasks —
+    # and at cluster scale the post-SMJ branches are already at n_part,
+    # making this a no-op there.
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = out.coalesce(n_part)
     # simj/jac (and the semi-filtered texts) stay cached until the
     # caller materializes the result (CheckpointStore.write releases
     # them).
