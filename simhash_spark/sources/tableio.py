@@ -219,6 +219,11 @@ class CheckpointStore:
             "wall_sec": time.time() - t0,
             "semantics": _sem_json(),
             "run_config": self.run_config,
+            # pinned schema: read() builds the scan from this instead of
+            # running a footer schema-inference pass per read (r6 — a
+            # pipeline run re-reads every stage it commits, and each
+            # inference was its own tiny Spark job).
+            "schema": df.schema.json(),
         }
         tmp = self._manifest_path(stage) + f".tmp-{token}"
         with open(tmp, "w") as f:
@@ -324,6 +329,9 @@ class CheckpointStore:
             "data_dirs": dirs + [data_dir],
             "batch_tokens": tokens + [token],
             "bucket_spec": spec,
+            # schema pinned at FIRST append (later batches must match the
+            # table layout anyway); see write() — read() skips inference.
+            "schema": (m.get("schema") if m else None) or df.schema.json(),
             "rows": (m.get("rows", 0) if m else 0) + rows,
             "n_files": (m.get("n_files", 0) if m else 0) + len(files),
             "committed_at": time.time(),
@@ -364,7 +372,15 @@ class CheckpointStore:
             )
         if m.get("bucket_spec"):
             return self.read_pruned(stage, values=None)
-        return self.spark.read.parquet(*_data_dirs(m))
+        reader = self.spark.read
+        if m.get("schema"):
+            # the manifest pins the exact schema the stage was written
+            # with — passing it skips the per-read footer-inference job
+            # (r6). Falls back to inference for pre-schema manifests.
+            from pyspark.sql import types as T
+
+            reader = reader.schema(T.StructType.fromJson(json.loads(m["schema"])))
+        return reader.parquet(*_data_dirs(m))
 
     def bucket_spec(self, stage: str) -> dict | None:
         """The pinned {col, n} bucket layout of ``stage`` (None if the
