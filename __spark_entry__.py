@@ -527,6 +527,16 @@ def q_doc_setops(spark, sf_dir):
 _PIPE_CKPTS: dict[str, str] = {}
 
 
+def _copy_stage_parquet(store, stage: str, dest: str) -> None:
+    """File-level copy of a committed stage's parquet data dir to a side
+    path (r6): for audit parquets that are the stage VERBATIM, a
+    filesystem copy replaces the scan + rewrite job pair while producing
+    the same parquet content for the DuckDB oracle."""
+    m = store.read_manifest(stage)
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(m["data_dir"], dest)
+
+
 def _shared_pipeline(spark, sf_dir):
     """One checkpointed pipeline per (process, sf_dir): the three
     pipeline-backed queries (doc_dup_clusters, verified_dup_pairs,
@@ -616,11 +626,13 @@ def q_doc_dup_clusters(spark, sf_dir):
     the hash compare fail. Closure size is O(sum component^2) — fine at
     gate scale, which is why the ENGINE uses the iterative loop instead."""
     pipe = _shared_pipeline(spark, sf_dir)
-    clusters = pipe.store.read("clusters")
     pipe.store.read("verified_pairs").select("a", "b").distinct().write.mode(
         "overwrite"
     ).parquet(_CC_EDGES_PATH)
-    clusters.write.mode("overwrite").parquet(_CC_NODES_PATH)
+    # the nodes audit is the committed clusters stage verbatim — copy the
+    # stage's parquet at FILE level instead of a Spark scan + rewrite of
+    # identical rows (r6; same idiom as the overlap audit copy).
+    _copy_stage_parquet(pipe.store, "clusters", _CC_NODES_PATH)
     return spark.read.parquet(_CC_NODES_PATH).orderBy("clip_id")
 
 
@@ -1049,11 +1061,12 @@ def q_dedup_survivors(spark, sf_dir):
     a wrong cluster label, a mis-picked canonical, or a drop-accounting
     error all change rows/values and fail the hash compare."""
     pipe = _shared_pipeline(spark, sf_dir)
-    clusters = pipe.store.read("clusters")
     pipe.store.read("verified_pairs").select("a", "b").distinct().write.mode(
         "overwrite"
     ).parquet(_SURV_EDGES_PATH)
-    clusters.write.mode("overwrite").parquet(_SURV_NODES_PATH)
+    # file-level copy of the committed clusters stage (see
+    # q_doc_dup_clusters — identical rows, no Spark rewrite).
+    _copy_stage_parquet(pipe.store, "clusters", _SURV_NODES_PATH)
     cl = spark.read.parquet(_SURV_NODES_PATH)
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("clip_id"), "n_chars"
