@@ -264,6 +264,25 @@ class IncrementalDedup:
         # itself materializes `verified` (one pass) and releases the
         # verify tier's internal persists.
         self.store.append("matches", verified, batch_id=batch_id)
+        # hot-group accounting IMMEDIATELY after the matches commit
+        # (ADVICE r5: appended last, a crash between the state appends
+        # lost the 'never silent' log line for a batch whose matches
+        # were already durable). `rows` counts this batch's MEMBERSHIP
+        # of over-cap groups (new rows landing in hot groups, the
+        # group's hub row included) — the group-size view of the
+        # diversion, not an edge count.
+        hot_stats = sizes.filter(F.col("grp_n") > self.cfg.band_group_cap).agg(
+            F.count("*").alias("groups"),
+            F.coalesce(F.sum("new_n"), F.lit(0)).alias("rows"),
+        ).first()
+        if int(hot_stats["groups"]):
+            self.store.append_metric(
+                "incremental_hot_band_rows_starred",
+                int(hot_stats["rows"]),
+                batch_id=batch_id,
+                groups=int(hot_stats["groups"]),
+                cap=self.cfg.band_group_cap,
+            )
         pairs.unpersist()
         self.store.append(
             "band_index",
@@ -286,18 +305,6 @@ class IncrementalDedup:
             partition_by="bkt",
             n_buckets=self.n_buckets,
         )
-        hot_stats = sizes.filter(F.col("grp_n") > self.cfg.band_group_cap).agg(
-            F.count("*").alias("groups"),
-            F.coalesce(F.sum("new_n"), F.lit(0)).alias("rows"),
-        ).first()
-        if int(hot_stats["groups"]):
-            self.store.append_metric(
-                "incremental_hot_band_rows_starred",
-                int(hot_stats["rows"]),
-                batch_id=batch_id,
-                groups=int(hot_stats["groups"]),
-                cap=self.cfg.band_group_cap,
-            )
         sizes.unpersist()
         new_bands.unpersist()
         prof_new.unpersist()
