@@ -348,33 +348,51 @@ def q_substring_pairs(spark, sf_dir):
     DuckDB oracle cross join."""
     d = _t(spark, sf_dir, "documents")
     base = d.select("doc_id", _norm(F.col("text")).alias("nt"))
+    # r6 (guide §8 "decide with small rows, move big rows once" + §2.3
+    # project-before-exchange): the EXPLODED side of the gram join now
+    # carries (doc_id, gram) ONLY. The old shape put the full normalized
+    # text on every exploded gram row — O(corpus chars x text length)
+    # bytes — and the planner, estimating the exploded side small,
+    # BROADCAST it: an unbounded broadcast of the whole exploded corpus
+    # (a scale hazard on top of the byte blow-up). The long text (nb) is
+    # re-attached ONCE per deduped candidate pair instead, and the
+    # contains() verify runs per pair instead of per shared gram. The a
+    # side keeps na in place: it is one row per (>= 64-char) document —
+    # the same weight as the base table itself.
     a = base.filter(F.length("nt") >= 64).select(
         F.col("doc_id").alias("a"),
         F.col("nt").alias("na"),
         F.substring("nt", 1, 16).alias("gram"),
     )
     # explicit repartition: the documents scan is a single small file
-    # locally (1-2 splits), and the explode + contains() below is the
-    # query's CPU floor — without this the whole CPU-dense stage runs at
-    # the scan's parallelism (measured 2 tasks x ~19 s at sf0.1; at
-    # cluster scale many file splits make this a no-op cost-wise).
+    # locally (1-2 splits), and the explode below is the query's CPU
+    # floor — without this the whole CPU-dense stage runs at the scan's
+    # parallelism (measured 2 tasks x ~19 s at sf0.1; at cluster scale
+    # many file splits make this a no-op cost-wise).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # len_b rides the exploded side as an 8-byte column so the length
+    # filter still prunes candidates BEFORE the dedupe shuffle (the old
+    # plan applied it pre-dedupe via the full text).
     b = base.repartition(n_part).select(
         F.col("doc_id").alias("b"),
-        F.col("nt").alias("nb"),
+        F.length("nt").alias("len_b"),
         F.explode(
             F.expr("transform(sequence(1, greatest(length(nt) - 15, 0)), i -> substring(nt, i, 16))")
         ).alias("gram"),
     )
-    return (
+    cand = (
         a.join(b, "gram")
-        .where(
-            (F.col("a") != F.col("b"))
-            & (F.length("na") < F.length("nb"))
-            & F.col("nb").contains(F.col("na"))
-        )
-        .select("a", "b")
+        .where((F.col("a") != F.col("b")) & (F.length("na") < F.col("len_b")))
+        .select("a", "na", "b")
         .dropDuplicates(["a", "b"])
+    )
+    # verbatim-containment verify per DEDUPED candidate (na/nb are
+    # functions of a/b, so filtering after the dedupe keeps the result
+    # set identical to filtering before it).
+    return (
+        cand.join(base.select(F.col("doc_id").alias("b"), F.col("nt").alias("nb")), "b")
+        .where(F.col("nb").contains(F.col("na")))
+        .select("a", "b")
     )
 
 
